@@ -1,0 +1,159 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.core import transforms as tr
+from tpu_joints.features import (
+    compute_fpfh,
+    compute_shot,
+    compute_variance_descriptor,
+    detect_edges,
+    estimate_normals,
+    iss_keypoints,
+    shot_lrf,
+)
+from tpu_joints.filters import compact_cloud, uniform_sample_mask
+from tpu_joints.neighbors import radius_neighbors
+
+from tests.util import joint_points, random_rigid
+
+
+def _setup_scene(rng, T=None):
+    xyz, _ = joint_points(rng, n_chord=500, n_stub=300)
+    if T is not None:
+        xyz = xyz @ T[:3, :3].T + T[:3, 3]
+    cloud = make_cloud(xyz, capacity=1024)
+    vp = np.array([0, 0, 10.0], np.float32)
+    if T is not None:
+        vp = T[:3, :3] @ vp + T[:3, 3]
+    normals, _ = estimate_normals(cloud, k=12, viewpoint=jnp.asarray(vp))
+    keep = uniform_sample_mask(cloud, 0.05)
+    keys, key_idx = compact_cloud(cloud, keep, 128)
+    return cloud, normals, keys, key_idx
+
+
+def test_shot_shape_and_norm(rng):
+    cloud, normals, keys, _ = _setup_scene(rng)
+    desc, rf, valid = compute_shot(keys, cloud, normals, radius=0.1, k_max=64)
+    desc, valid = np.asarray(desc), np.asarray(valid)
+    assert desc.shape == (128, 352)
+    assert valid.sum() > 20
+    norms = np.linalg.norm(desc[valid], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert np.all(desc >= -1e-6)
+    # invalid rows are zero
+    assert np.all(desc[~valid] == 0)
+
+
+def test_shot_rigid_invariance(rng):
+    T = random_rigid(rng)
+    rng2 = np.random.default_rng(7)
+    cloud_a, normals_a, keys_a, _ = _setup_scene(rng2)
+    rng2 = np.random.default_rng(7)
+    cloud_b, normals_b, keys_b, _ = _setup_scene(rng2, T=T)
+    # same generation seed → keypoint sets correspond after transform (the
+    # voxel grid is rebuilt, so match keypoints explicitly by position)
+    desc_a, _, va = compute_shot(keys_a, cloud_a, normals_a, radius=0.1, k_max=64)
+    desc_b, _, vb = compute_shot(keys_b, cloud_b, normals_b, radius=0.1, k_max=64)
+    ka = np.asarray(keys_a.xyz)[np.asarray(va)]
+    kb = np.asarray(keys_b.xyz)[np.asarray(vb)]
+    da = np.asarray(desc_a)[np.asarray(va)]
+    db = np.asarray(desc_b)[np.asarray(vb)]
+    ka_t = ka @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    d2 = ((ka_t[:, None, :] - kb[None, :, :]) ** 2).sum(-1)
+    pair = d2.argmin(1)
+    close = d2.min(1) < 1e-8
+    assert close.sum() > 10
+    diffs = np.linalg.norm(da[close] - db[pair[close]], axis=1)
+    # descriptors are unit vectors; rigid motion should barely change them.
+    # A minority of keypoints sit on locally symmetric cylinder patches where
+    # the LRF sign vote is genuinely ambiguous (PCL flips there too).
+    assert np.median(diffs) < 0.05
+    assert (diffs < 0.3).mean() > 0.7
+
+
+def test_shot_lrf_orthonormal(rng):
+    cloud, normals, keys, _ = _setup_scene(rng)
+    idx, within, _ = radius_neighbors(keys.xyz, cloud.xyz, 0.1, 64, source_mask=cloud.mask)
+    rf, ok = shot_lrf(keys.xyz, cloud.xyz[idx], within & keys.mask[:, None], 0.1)
+    rf, ok = np.asarray(rf), np.asarray(ok)
+    for m in np.where(ok & np.asarray(keys.mask))[0][:20]:
+        R = rf[m]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+        assert np.linalg.det(R) > 0.9
+
+
+def test_fpfh_shape_and_blocks(rng):
+    cloud, normals, keys, key_idx = _setup_scene(rng)
+    knorm = normals[key_idx]
+    desc, valid = compute_fpfh(keys, knorm, cloud, normals, radius=0.08, k_max=32)
+    desc, valid = np.asarray(desc), np.asarray(valid)
+    assert desc.shape == (128, 33)
+    assert valid.sum() > 20
+    blocks = desc[valid].reshape(-1, 3, 11).sum(-1)
+    np.testing.assert_allclose(blocks, 100.0, atol=0.1)
+
+
+def test_fpfh_rigid_invariance(rng):
+    T = random_rigid(rng)
+    rng2 = np.random.default_rng(3)
+    cloud_a, normals_a, keys_a, ia = _setup_scene(rng2)
+    rng2 = np.random.default_rng(3)
+    cloud_b, normals_b, keys_b, ib = _setup_scene(rng2, T=T)
+    da, va = compute_fpfh(keys_a, normals_a[ia], cloud_a, normals_a, radius=0.08, k_max=32)
+    db, vb = compute_fpfh(keys_b, normals_b[ib], cloud_b, normals_b, radius=0.08, k_max=32)
+    ka = np.asarray(keys_a.xyz)[np.asarray(va)]
+    kb = np.asarray(keys_b.xyz)[np.asarray(vb)]
+    da = np.asarray(da)[np.asarray(va)]
+    db = np.asarray(db)[np.asarray(vb)]
+    ka_t = ka @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    d2 = ((ka_t[:, None, :] - kb[None, :, :]) ** 2).sum(-1)
+    pair, close = d2.argmin(1), d2.min(1) < 1e-8
+    assert close.sum() > 10
+    diffs = np.linalg.norm(da[close] - db[pair[close]], axis=1)
+    # FPFH blocks sum to 100; tolerate a few % of that scale
+    assert np.median(diffs) < 12.0
+
+
+def test_variance_descriptor_plane_flat(rng):
+    x, y = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20))
+    pts = np.stack([x.ravel(), y.ravel(), np.zeros(x.size)], 1).astype(np.float32)
+    cloud = make_cloud(pts, capacity=512)
+    normals, _ = estimate_normals(cloud, k=8, viewpoint=jnp.asarray(np.array([0, 0, 1.0], np.float32)))
+    keep = uniform_sample_mask(cloud, 0.2)
+    keys, kidx = compact_cloud(cloud, keep, 32)
+    desc, valid = compute_variance_descriptor(keys, normals[kidx], cloud, normals, radius=0.15, k_max=32)
+    desc, valid = np.asarray(desc), np.asarray(valid)
+    # flat plane: normal angles identical → variance ~ 0 at every scale
+    assert np.all(np.abs(desc[valid]) < 1e-4)
+
+
+def test_edge_detector_flags_border(rng):
+    x, y = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20))
+    pts = np.stack([x.ravel(), y.ravel(), np.zeros(x.size)], 1).astype(np.float32)
+    cloud = make_cloud(pts, capacity=512)
+    edges = np.asarray(detect_edges(cloud, k=12, threshold=0.02))
+    m = np.asarray(cloud.mask)
+    interior = (pts[:, 0] > 0.2) & (pts[:, 0] < 0.8) & (pts[:, 1] > 0.2) & (pts[:, 1] < 0.8)
+    corner = (pts[:, 0] < 0.05) & (pts[:, 1] < 0.05)
+    e = edges[: pts.shape[0]]
+    assert not e[interior].any()
+    assert e[corner].any()
+
+
+def test_iss_plane_interior_has_no_keypoints(rng):
+    x, y = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+    pts = np.stack([x.ravel(), y.ravel(), np.zeros(x.size)], 1).astype(np.float32)
+    cloud = make_cloud(pts, capacity=256)
+    kp = np.asarray(iss_keypoints(cloud, salient_radius=0.23, non_max_radius=0.15, k_max=64))
+    # borders may trip the eigen-ratio test (true for ISS generally); the
+    # flat interior must not.
+    interior = (pts[:, 0] > 0.25) & (pts[:, 0] < 0.75) & (pts[:, 1] > 0.25) & (pts[:, 1] < 0.75)
+    assert kp[: pts.shape[0]][interior].sum() == 0
+
+
+def test_iss_finds_structure(rng):
+    xyz, _ = joint_points(rng, n_chord=400, n_stub=250)
+    cloud = make_cloud(xyz, capacity=1024)
+    kp = np.asarray(iss_keypoints(cloud, salient_radius=0.08, non_max_radius=0.06, k_max=48))
+    assert kp.sum() > 0
