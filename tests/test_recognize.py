@@ -1,0 +1,163 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.core import transforms as tr
+from tpu_joints.recognize import (
+    fitness_score,
+    gc_group,
+    hough_group,
+    icp,
+    match_nn,
+    match_ratio,
+    oriented_bounding_box,
+    verify_hypotheses,
+)
+from tpu_joints.recognize.matching import Correspondences
+
+from tests.util import joint_points, random_rigid, random_rotation
+
+
+def test_match_nn_exact(rng):
+    model = rng.normal(size=(40, 16)).astype(np.float32)
+    perm = rng.permutation(40)
+    scene = model[perm] + rng.normal(scale=1e-4, size=(40, 16)).astype(np.float32)
+    ones = jnp.ones(40, bool)
+    c = match_nn(jnp.asarray(scene), ones, jnp.asarray(model), ones, max_dist_sq=0.01)
+    assert np.array_equal(np.asarray(c.model_idx), perm)
+    assert np.asarray(c.valid).all()
+
+
+def test_match_nn_gate(rng):
+    model = rng.normal(size=(10, 8)).astype(np.float32)
+    scene = model + 10.0  # far away
+    ones = jnp.ones(10, bool)
+    c = match_nn(jnp.asarray(scene), ones, jnp.asarray(model), ones, max_dist_sq=0.01)
+    assert not np.asarray(c.valid).any()
+
+
+def test_match_ratio(rng):
+    model = np.eye(4, dtype=np.float32) * 5
+    scene = np.stack([model[0] + 0.01, model[1] * 0.5 + model[2] * 0.5])
+    ones2, ones4 = jnp.ones(2, bool), jnp.ones(4, bool)
+    c = match_ratio(jnp.asarray(scene), ones2, jnp.asarray(model), ones4, ratio=0.8)
+    v = np.asarray(c.valid)
+    assert v[0]  # unambiguous match passes
+    assert not v[1]  # equidistant to two model descs → ratio ≈ 1 fails 0.8
+
+
+def test_icp_converges(rng):
+    xyz, _ = joint_points(rng, n_chord=300, n_stub=200)
+    model = make_cloud(xyz, capacity=512)
+    T_true = np.eye(4, dtype=np.float32)
+    # small perturbation: 5° rotation + 2cm translation
+    a = np.radians(5.0)
+    T_true[:3, :3] = np.array(
+        [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32
+    )
+    T_true[:3, 3] = [0.02, -0.01, 0.015]
+    scene = make_cloud(xyz @ T_true[:3, :3].T + T_true[:3, 3], capacity=512)
+    T_est, fit = icp(model, scene, jnp.eye(4), iterations=30, chunk=512)
+    assert float(fit) < 1e-6
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T_true[:3, :3]), T_est[:3, :3]))
+    assert ang < 0.1
+    np.testing.assert_allclose(np.asarray(T_est)[:3, 3], T_true[:3, 3], atol=1e-3)
+
+
+def test_icp_max_corr_dist_rejects_outliers(rng):
+    xyz, _ = joint_points(rng, n_chord=300, n_stub=200)
+    model = make_cloud(xyz, capacity=1024)
+    scene_pts = np.concatenate([xyz + [0.005, 0, 0], rng.uniform(-2, 2, (300, 3)).astype(np.float32)])
+    scene = make_cloud(scene_pts, capacity=1024)
+    T_est, _ = icp(model, scene, jnp.eye(4), iterations=10, max_corr_dist=0.02, chunk=512)
+    np.testing.assert_allclose(np.asarray(T_est)[:3, 3], [0.005, 0, 0], atol=1e-3)
+
+
+def _synthetic_grouping_problem(rng, n_model=60, n_outliers=15):
+    """Model keypoints with random LRFs; scene = rigidly moved copy plus
+    outlier correspondences pointing at random scene locations."""
+    T = random_rigid(rng, t_scale=0.5)
+    R = T[:3, :3]
+    model_keys = rng.uniform(-0.2, 0.2, (n_model, 3)).astype(np.float32)
+    model_rf = np.stack([random_rotation(rng) for _ in range(n_model)])  # rows=axes
+    scene_keys = (model_keys @ R.T + T[:3, 3]).astype(np.float32)
+    scene_rf = np.einsum("mij,kj->mik", model_rf, R)  # axes rotate: a' = R a
+    # append outliers: scene keypoints at random positions matched to random models
+    out_scene = rng.uniform(-1, 1, (n_outliers, 3)).astype(np.float32)
+    out_rf = np.stack([random_rotation(rng) for _ in range(n_outliers)])
+    scene_all = np.concatenate([scene_keys, out_scene])
+    scene_rf_all = np.concatenate([scene_rf, out_rf]).astype(np.float32)
+    model_idx = np.concatenate([np.arange(n_model), rng.integers(0, n_model, n_outliers)])
+    M = n_model + n_outliers
+    corrs = Correspondences(
+        model_idx=jnp.asarray(model_idx.astype(np.int32)),
+        valid=jnp.ones(M, bool),
+        dist_sq=jnp.asarray(np.full(M, 0.05, np.float32)),
+    )
+    return T, model_keys, model_rf.astype(np.float32), scene_all, scene_rf_all, corrs
+
+
+def test_hough_recovers_pose(rng):
+    T, mk, mrf, sk, srf, corrs = _synthetic_grouping_problem(rng)
+    n_model = mk.shape[0]
+    inst = hough_group(
+        jnp.asarray(sk), jnp.asarray(srf), jnp.ones(sk.shape[0], bool),
+        jnp.asarray(mk), jnp.asarray(mrf), jnp.ones(n_model, bool),
+        jnp.ones(n_model, bool), corrs,
+        bin_size=0.03, threshold=3.0, max_instances=4,
+    )
+    valid = np.asarray(inst.valid)
+    assert valid.any()
+    best = np.argmax(np.where(valid, np.asarray(inst.votes), -1))
+    T_est = np.asarray(inst.poses)[best]
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T[:3, :3]), jnp.asarray(T_est[:3, :3])))
+    assert ang < 1.0
+    np.testing.assert_allclose(T_est[:3, 3], T[:3, 3], atol=5e-3)
+    # the winning instance groups (mostly) the inlier correspondences
+    assert np.asarray(inst.n_corrs)[best] >= 0.8 * mk.shape[0]
+
+
+def test_gc_recovers_pose(rng):
+    T, mk, mrf, sk, srf, corrs = _synthetic_grouping_problem(rng)
+    inst = gc_group(
+        jnp.asarray(sk), jnp.asarray(mk), jnp.ones(mk.shape[0], bool), corrs,
+        gc_size=0.01, gc_threshold=10.0, max_instances=4,
+    )
+    valid = np.asarray(inst.valid)
+    assert valid.any()
+    best = np.argmax(np.where(valid, np.asarray(inst.votes), -1))
+    T_est = np.asarray(inst.poses)[best]
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T[:3, :3]), jnp.asarray(T_est[:3, :3])))
+    assert ang < 1.0
+    np.testing.assert_allclose(T_est[:3, 3], T[:3, 3], atol=5e-3)
+
+
+def test_verify_hypotheses_picks_real_instance(rng):
+    xyz, _ = joint_points(rng, n_chord=250, n_stub=150)
+    scene = make_cloud(xyz, capacity=512)
+    good = np.pad(xyz + rng.normal(scale=1e-4, size=xyz.shape).astype(np.float32),
+                  ((0, 512 - xyz.shape[0]), (0, 0)), constant_values=1e6)
+    bad = good + np.array([0.5, 0.5, 0.5], np.float32)
+    inst_xyz = jnp.asarray(np.stack([good, bad]))
+    mask = np.zeros((2, 512), bool)
+    mask[:, : xyz.shape[0]] = True
+    picked = np.asarray(
+        verify_hypotheses(
+            inst_xyz, jnp.asarray(mask), jnp.ones(2, bool), scene,
+            inlier_threshold=0.005, chunk=512,
+        )
+    )
+    assert picked[0] and not picked[1]
+
+
+def test_obb_recovers_box(rng):
+    dims = np.array([0.4, 0.2, 0.1], np.float32)
+    pts = rng.uniform(-0.5, 0.5, (800, 3)).astype(np.float32) * dims
+    R = random_rotation(rng)
+    t = np.array([1.0, 2.0, 3.0], np.float32)
+    cloud = make_cloud(pts @ R.T + t, capacity=1024)
+    box = oriented_bounding_box(cloud)
+    np.testing.assert_allclose(np.sort(np.asarray(box.extents)), np.sort(dims), atol=0.02)
+    np.testing.assert_allclose(np.asarray(box.position), t, atol=0.02)
+    Rb = np.asarray(box.rotation)
+    np.testing.assert_allclose(Rb.T @ Rb, np.eye(3), atol=1e-4)

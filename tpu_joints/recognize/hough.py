@@ -1,0 +1,139 @@
+"""Hough-3D correspondence grouping (SURVEY.md A20).
+
+TPU-native re-design of PCL's ``Hough3DGrouping::recognize`` (reference
+``SHOT.cpp:456-469``, bin size 0.02-0.03, threshold 2-3, no interpolation,
+distance-weighted): every model keypoint stores the offset to the model
+centroid expressed in its local reference frame; a correspondence then casts
+a vote for the model centroid's position in the scene. Votes scatter-add
+into a dense 3-D accumulator; peaks above threshold (after 3³ non-max
+suppression) become instances; each instance's pose is an SVD/Umeyama fit
+over the correspondences that voted into its bin — exactly the reference's
+semantics with ``setHoughBinSize/setHoughThreshold/setUseInterpolation(false)/
+setUseDistanceWeight(true)``.
+
+The accumulator has static extent GRID³ around the vote cloud's median, so
+shapes stay jit-stable; votes outside are clamped to the border (they came
+from wrong matches and never beat real peaks).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_joints.core.transforms import umeyama
+from tpu_joints.recognize.matching import Correspondences
+
+GRID = 64  # accumulator cells per axis (64³ = 262k bins ≈ 1 MB)
+
+
+class Instances(NamedTuple):
+    """Up to P candidate object instances from correspondence grouping.
+
+    poses: float32[P, 4, 4] model→scene transforms; votes: float32[P]
+    accumulated vote mass; n_corrs: int32[P] supporting correspondences;
+    valid: bool[P]; membership: bool[P, M] which scene-keypoint
+    correspondences support each instance (the reference's
+    ``clustered_corrs``).
+    """
+
+    poses: jnp.ndarray
+    votes: jnp.ndarray
+    n_corrs: jnp.ndarray
+    valid: jnp.ndarray
+    membership: jnp.ndarray
+
+
+def model_local_votes(
+    model_keys: jnp.ndarray,
+    model_rf: jnp.ndarray,
+    model_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Training phase: per model keypoint, centroid offset in its LRF.
+
+    PCL's ``Hough3DGrouping::train()`` equivalent.
+    """
+    w = model_mask.astype(jnp.float32)
+    centroid = jnp.sum(model_keys * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    off = centroid[None, :] - model_keys  # [Nm, 3]
+    return jnp.einsum("mij,mj->mi", model_rf, off)  # local coords (rf rows = axes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bin_size", "threshold", "max_instances", "use_distance_weight"),
+)
+def hough_group(
+    scene_keys: jnp.ndarray,
+    scene_rf: jnp.ndarray,
+    scene_rf_ok: jnp.ndarray,
+    model_keys: jnp.ndarray,
+    model_rf: jnp.ndarray,
+    model_rf_ok: jnp.ndarray,
+    model_mask: jnp.ndarray,
+    corrs: Correspondences,
+    bin_size: float = 0.03,
+    threshold: float = 3.0,
+    max_instances: int = 8,
+    use_distance_weight: bool = True,
+) -> Instances:
+    """Group correspondences into rigid-instance hypotheses.
+
+    Args mirror PCL: scene/model keypoints with their LRFs, plus the
+    descriptor correspondences (scene → model).
+    """
+    M = scene_keys.shape[0]
+    mi = corrs.model_idx
+    cvalid = corrs.valid & scene_rf_ok & model_rf_ok[mi] & model_mask[mi]
+
+    local = model_local_votes(model_keys, model_rf, model_mask)  # [Nm, 3]
+    cast = local[mi]  # [M, 3]
+    # scene position of the predicted model centroid: p + R_scene^T · local
+    votes_xyz = scene_keys + jnp.einsum("mji,mj->mi", scene_rf, cast)
+
+    # PCL's distance weight: w = 1 - descriptor_distance (clamped).
+    if use_distance_weight:
+        w = jnp.clip(1.0 - corrs.dist_sq, 0.05, 1.0)
+    else:
+        w = jnp.ones((M,), jnp.float32)
+    w = w * cvalid.astype(jnp.float32)
+
+    # static-extent accumulator centered on the weighted vote median (the
+    # mean is robust enough here and cheaper than a true median)
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    center = jnp.sum(votes_xyz * w[:, None], axis=0) / wsum
+    lo = center - (GRID / 2.0) * bin_size
+    ijk = jnp.floor((votes_xyz - lo) / bin_size).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, GRID - 1)
+    flat = (ijk[:, 0] * GRID + ijk[:, 1]) * GRID + ijk[:, 2]
+
+    acc = jnp.zeros((GRID * GRID * GRID,), jnp.float32).at[flat].add(w)
+    acc3 = acc.reshape(GRID, GRID, GRID)
+
+    # non-max suppression over the 3³ neighborhood
+    pooled = jax.lax.reduce_window(
+        acc3, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    is_peak = (acc3 >= pooled) & (acc3 >= threshold)
+    peak_score = jnp.where(is_peak, acc3, -1.0).reshape(-1)
+    top_votes, top_bins = jax.lax.top_k(peak_score, max_instances)
+    inst_valid = top_votes >= threshold
+
+    membership = (flat[None, :] == top_bins[:, None]) & cvalid[None, :]  # [P, M]
+    n_corrs = jnp.sum(membership.astype(jnp.int32), axis=1)
+
+    def fit(mem):
+        ww = mem.astype(jnp.float32) * w
+        return umeyama(model_keys[mi], scene_keys, ww)
+
+    poses = jax.vmap(fit)(membership)
+    inst_valid = inst_valid & (n_corrs >= 3)
+    return Instances(
+        poses=poses,
+        votes=jnp.maximum(top_votes, 0.0),
+        n_corrs=n_corrs,
+        valid=inst_valid,
+        membership=membership,
+    )

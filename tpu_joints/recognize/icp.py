@@ -1,0 +1,83 @@
+"""Point-to-point ICP refinement (SURVEY.md A22).
+
+Replaces PCL's ``IterativeClosestPoint`` in its three reference modes:
+100-iteration alignment (``SHOT.cpp:177-192``), chained 1-iteration
+refinement (``SHOT_demo.cpp:604-633``), and tight
+``setMaxCorrespondenceDistance(0.001)`` verification ICP
+(``SHOT_hypothesis.cpp:509-515``).
+
+TPU design: a ``lax.scan`` over iterations; each step is one batched NN
+query (tiled MXU distance matmul), a masked Umeyama solve, and a 4×4
+compose — no data-dependent control flow, so the whole refinement jits into
+one fused program. PCL's early-exit epsilons become a no-op naturally: a
+converged step yields ~identity updates. Fitness matches PCL's
+``getFitnessScore()``: mean *squared* NN distance over source points whose
+NN lies within ``max_range`` (the acceptance gates ≤ 0.001 / < 0.006 in the
+reference are on this quantity).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_joints.core.cloud import Cloud
+from tpu_joints.core.transforms import transform_points, umeyama
+from tpu_joints.neighbors import knn
+
+_BIG = 3.0e38
+
+
+def _nn_correspondences(src_xyz, src_mask, dst_xyz, dst_mask, chunk):
+    d, i = knn(src_xyz, dst_xyz, 1, source_mask=dst_mask, chunk=chunk)
+    return d[:, 0], i[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "chunk")
+)
+def icp(
+    source: Cloud,
+    target: Cloud,
+    init_T: jnp.ndarray,
+    iterations: int = 100,
+    max_corr_dist: float = _BIG,
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Align ``source`` to ``target`` starting from ``init_T``.
+
+    Returns (T float32[4,4] total model→target transform including init_T,
+    fitness float32 — PCL-style mean squared NN distance after the final
+    iteration).
+    """
+    max_sq = jnp.float32(max_corr_dist) * jnp.float32(max_corr_dist)
+
+    def step(T, _):
+        moved = transform_points(source.xyz, T)
+        dist_sq, nn = _nn_correspondences(moved, source.mask, target.xyz, target.mask, chunk)
+        w = (source.mask & (dist_sq <= max_sq) & (dist_sq < _BIG)).astype(jnp.float32)
+        delta = umeyama(moved, target.xyz[nn], w)
+        return delta @ T, None
+
+    T, _ = jax.lax.scan(step, init_T.astype(jnp.float32), None, length=iterations)
+    fit = fitness_score(source, target, T, chunk=chunk)
+    return T, fit
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def fitness_score(
+    source: Cloud,
+    target: Cloud,
+    T: jnp.ndarray,
+    max_range: float = _BIG,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """PCL ``getFitnessScore``: mean squared NN distance of transformed
+    source points onto the target, over pairs closer than ``max_range``."""
+    moved = transform_points(source.xyz, T)
+    dist_sq, _ = _nn_correspondences(moved, source.mask, target.xyz, target.mask, chunk)
+    ok = source.mask & (dist_sq < jnp.float32(max_range) ** 2) & (dist_sq < _BIG)
+    w = ok.astype(jnp.float32)
+    return jnp.sum(dist_sq * w) / jnp.maximum(jnp.sum(w), 1.0)
