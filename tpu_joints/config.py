@@ -1,0 +1,116 @@
+"""Pipeline configuration (SURVEY.md A32).
+
+One frozen dataclass replaces the reference's copy-pasted
+``parseCommandLine`` (``SHOT.cpp:81-143``) and its per-file global defaults
+(``model_ss_`` 0.02 at ``SHOT.cpp:49``, 0.005 at ``SHOT_segment.cpp:50``,
+0.01 at ``SHOT_VAR.cpp:54``…). Field names keep the reference's flag names
+(``model_ss``, ``scene_ss``, ``rf_rad``, ``descr_rad``, ``cg_size``,
+``cg_thresh``, ``--algorithm Hough|GC``). Presets are named after the
+reference programs they reproduce.
+
+Frozen + hashable so a config can be a `jit` static argument: one compiled
+executable per preset, reused across scenes (pad-to-bucket keeps shapes
+stable).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionConfig:
+    # descriptor
+    descriptor: str = "shot"          # "shot" | "fpfh"
+    descr_rad: float = 0.02           # SHOT.cpp:52 (descr_rad_ 0.02)
+    rf_rad: float = 0.015             # SHOT.cpp:51
+    # sampling
+    model_ss: float = 0.01            # CAD_desc.cpp uniform sampling 0.01
+    scene_ss: float = 0.03            # SHOT_demo VoxelGrid 0.03 (:413-417)
+    # normals
+    normal_k: int = 40                # SHOT.cpp:302-308 (k=40)
+    # matching
+    match_mode: str = "nn"            # "nn" (abs gate) | "ratio"
+    match_threshold: float = 0.25     # squared desc distance, SHOT.cpp:418
+    ratio: float = 1.0                # SHOT_demo.cpp:522-524
+    # grouping
+    algorithm: str = "hough"          # "hough" | "gc" (SHOT.cpp --algorithm)
+    cg_size: float = 0.03             # SHOT.cpp:53 (Hough bin / GC size)
+    cg_thresh: float = 3.0            # SHOT.cpp:54
+    use_distance_weight: bool = True  # SHOT.cpp:460
+    max_instances_per_view: int = 4
+    # refinement
+    icp_iterations: int = 30          # SHOT.cpp icp_align: 100 iters; 30 suffices with exact NN
+    icp_max_corr_dist: float = 3.0e38 # SHOT_hypothesis.cpp:511 uses 0.001
+    max_candidates: int = 4           # instances refined by ICP
+    accept_fitness: float = 0.001     # SHOT.cpp:187
+    # verification (SHOT_hypothesis.cpp:56-64)
+    hv_enabled: bool = False
+    hv_inlier_threshold: float = 0.005
+    hv_occlusion_threshold: float = 0.001
+    hv_regularizer: float = 0.001
+    # segmentation preprocessing (SHOT_demo.cpp:282-400)
+    segment_scene: bool = False
+    rg_smoothness_deg: float = 7.0
+    rg_curvature: float = 7.0
+    rg_min_cluster: int = 50
+    cluster_max_curvature: float = 0.04
+    # capacities (static shapes; pad-to-bucket)
+    scene_capacity: int = 16384
+    scene_key_capacity: int = 1024
+    k_max: int = 96
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference programs (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+SHOT_STREAM = DetectionConfig(
+    # SHOT.cpp: model_ss 0.02, scene_ss 0.02, SHOT r=0.02, 1-NN < 0.20,
+    # Hough bin 0.03 / thresh 3.0, ICP accept ≤ 0.001
+    descriptor="shot", model_ss=0.02, scene_ss=0.02, descr_rad=0.02,
+    match_mode="nn", match_threshold=0.20, algorithm="hough",
+    cg_size=0.03, cg_thresh=3.0, accept_fitness=0.001,
+)
+
+SHOT_SEGMENT = DetectionConfig(
+    # SHOT_segment.cpp: model_ss 0.005, scene_ss 0.01, 1-NN < 0.25, k=20 normals
+    descriptor="shot", model_ss=0.005, scene_ss=0.01, descr_rad=0.02,
+    normal_k=20, match_mode="nn", match_threshold=0.25,
+)
+
+SHOT_DEMO = DetectionConfig(
+    # SHOT_demo.cpp: region-growing scene crop, VoxelGrid 0.03 keypoints,
+    # ratio-test τ ≤ 1, chained ICP accept < 0.006
+    descriptor="shot", scene_ss=0.03, model_ss=0.02,
+    match_mode="ratio", ratio=1.0, segment_scene=True,
+    accept_fitness=0.006,
+)
+
+FPFH_DEMO = DetectionConfig(
+    # FPFH_demo.cpp: FPFH r=0.15, VoxelGrid 0.03/0.02, ratio τ ≤ 1,
+    # region-growing crop, accept < 0.006
+    descriptor="fpfh", descr_rad=0.15, scene_ss=0.03, model_ss=0.02,
+    match_mode="ratio", ratio=1.0, segment_scene=True,
+    accept_fitness=0.006,
+)
+
+SHOT_HYPOTHESIS = DetectionConfig(
+    # SHOT_hypothesis.cpp: 1-NN < 0.25, ICP max-corr-dist 0.001, GO-HV on
+    descriptor="shot", match_mode="nn", match_threshold=0.25,
+    icp_max_corr_dist=0.001, hv_enabled=True,
+)
+
+SIX_D_POSE = DetectionConfig(
+    # 6Dpose.cpp: normals k=10, 1-NN < 0.20, Hough, 100-iter + chained ICP
+    descriptor="shot", normal_k=10, match_mode="nn", match_threshold=0.20,
+)
+
+PRESETS = {
+    "shot": SHOT_STREAM,
+    "shot_segment": SHOT_SEGMENT,
+    "shot_demo": SHOT_DEMO,
+    "fpfh_demo": FPFH_DEMO,
+    "shot_hypothesis": SHOT_HYPOTHESIS,
+    "6dpose": SIX_D_POSE,
+}

@@ -1,0 +1,172 @@
+"""Descriptor-bank build + persistence (SURVEY.md A27).
+
+The reference's offline prep: render 42 partial views, compute descriptors
+per view, dump to ``Partial_View<l>.txt`` (``CAD_desc.cpp:354-370``), and
+reload them implicitly in every pipeline run. Here the bank is a single
+pytree of stacked padded arrays — [V, Mk, D] descriptors, [V, Mk, 3]
+keypoints, [V, Mk, 3, 3] frames, [V, 4, 4] poses — which is exactly the
+layout the batched matcher wants: the TPU pipeline matches a scene against
+*all* views in one tiled matmul instead of the reference's 42-iteration
+disk-reload loop (``SHOT.cpp:239-265``). Persisted as ``.npz`` with a
+params hash for cache validity (SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import hashlib
+import json
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_joints.core.cloud import Cloud, bucket_size, make_cloud
+from tpu_joints.features.fpfh import compute_fpfh
+from tpu_joints.features.lrf import shot_lrf
+from tpu_joints.features.normals import estimate_normals
+from tpu_joints.features.shot import compute_shot
+from tpu_joints.filters import compact_cloud, uniform_sample_mask
+from tpu_joints.modelbank.scanner import render_views
+from tpu_joints.neighbors import radius_neighbors
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["view_xyz", "view_mask", "key_xyz", "key_valid", "desc", "rf", "poses"],
+    meta_fields=["params_hash"],
+)
+@dataclasses.dataclass(frozen=True)
+class ModelBank:
+    """Stacked per-view model data (all views padded to common capacity).
+
+    A pytree: the arrays are jit-traceable data, ``params_hash`` is static
+    metadata (part of the jit cache key, so two banks built with different
+    parameters never share a stale executable).
+    """
+
+    view_xyz: jnp.ndarray   # [V, Nv, 3] partial view clouds (camera frame)
+    view_mask: jnp.ndarray  # [V, Nv]
+    key_xyz: jnp.ndarray    # [V, Mk, 3] keypoints
+    key_valid: jnp.ndarray  # [V, Mk] descriptor validity
+    desc: jnp.ndarray       # [V, Mk, D]
+    rf: jnp.ndarray         # [V, Mk, 3, 3] local reference frames
+    poses: jnp.ndarray      # [V, 4, 4] model→camera ground truth (pose.txt)
+    params_hash: str = ""
+
+    @property
+    def n_views(self) -> int:
+        return self.view_xyz.shape[0]
+
+    def view_cloud(self, v: int) -> Cloud:
+        return Cloud(
+            xyz=self.view_xyz[v],
+            mask=self.view_mask[v],
+            rgb=jnp.zeros_like(self.view_xyz[v]),
+        )
+
+
+def _params_hash(params: dict) -> str:
+    return hashlib.sha1(json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def build_bank(
+    model_xyz: np.ndarray,
+    descriptor: str = "shot",
+    descr_radius: float = 0.02,
+    sampling_radius: float = 0.01,
+    normal_k: int = 40,
+    k_max: int = 128,
+    level: int = 1,
+    resolution: int = 100,
+    view_capacity: Optional[int] = None,
+    key_capacity: int = 256,
+    views: Optional[List[np.ndarray]] = None,
+    poses: Optional[np.ndarray] = None,
+) -> ModelBank:
+    """Render views of a CAD point set and compute its descriptor bank.
+
+    Mirrors the reference's prep chain ``render.cpp`` → ``CAD_desc.cpp``
+    (normals k=40 ``:283-289``, uniform sampling 0.01 ``:295-304``, SHOT
+    ``:339-352``). Pass ``views``/``poses`` to skip rendering (e.g. when
+    the partial views come from disk like ``stub_poses/<l>.pcd``).
+    """
+    if views is None or poses is None:
+        views, poses, _ = render_views(model_xyz, level=level, resolution=resolution)
+    if view_capacity is None:
+        view_capacity = bucket_size(max(max((v.shape[0] for v in views), default=1), 1))
+
+    all_view_xyz, all_view_mask = [], []
+    all_keys, all_valid, all_desc, all_rf = [], [], [], []
+    for vxyz in views:
+        cloud = make_cloud(vxyz, capacity=view_capacity)
+        normals, _ = estimate_normals(cloud, k=normal_k)
+        keep = uniform_sample_mask(cloud, sampling_radius)
+        keys, kidx = compact_cloud(cloud, keep, key_capacity)
+        if descriptor == "shot":
+            desc, rf, valid = compute_shot(keys, cloud, normals, radius=descr_radius, k_max=k_max)
+        elif descriptor == "fpfh":
+            desc, valid = compute_fpfh(keys, normals[kidx], cloud, normals,
+                                       radius=descr_radius, k_max=k_max)
+            # FPFH carries no frame of its own; Hough voting still needs
+            # repeatable LRFs (the reference pairs FPFH with BOARD frames,
+            # FPFH_demo.cpp:548-585 — here the SHOT LRF plays that role).
+            nidx, nwithin, _ = radius_neighbors(
+                keys.xyz, cloud.xyz, descr_radius, k_max, source_mask=cloud.mask
+            )
+            rf, rf_ok = shot_lrf(keys.xyz, cloud.xyz[nidx],
+                                 nwithin & keys.mask[:, None], descr_radius)
+            valid = valid & rf_ok
+        else:
+            raise ValueError(f"unknown descriptor {descriptor!r}")
+        all_view_xyz.append(cloud.xyz)
+        all_view_mask.append(cloud.mask)
+        all_keys.append(keys.xyz)
+        all_valid.append(valid & keys.mask)
+        all_desc.append(desc)
+        all_rf.append(rf)
+
+    params = dict(
+        descriptor=descriptor, descr_radius=descr_radius,
+        sampling_radius=sampling_radius, normal_k=normal_k, k_max=k_max,
+        level=level, resolution=resolution, n_views=len(views),
+    )
+    return ModelBank(
+        view_xyz=jnp.stack(all_view_xyz),
+        view_mask=jnp.stack(all_view_mask),
+        key_xyz=jnp.stack(all_keys),
+        key_valid=jnp.stack(all_valid),
+        desc=jnp.stack(all_desc),
+        rf=jnp.stack(all_rf),
+        poses=jnp.asarray(poses),
+        params_hash=_params_hash(params),
+    )
+
+
+def save_bank(path: str, bank: ModelBank) -> None:
+    np.savez_compressed(
+        path,
+        view_xyz=np.asarray(bank.view_xyz),
+        view_mask=np.asarray(bank.view_mask),
+        key_xyz=np.asarray(bank.key_xyz),
+        key_valid=np.asarray(bank.key_valid),
+        desc=np.asarray(bank.desc),
+        rf=np.asarray(bank.rf),
+        poses=np.asarray(bank.poses),
+        params_hash=np.asarray(bank.params_hash),
+    )
+
+
+def load_bank(path: str) -> ModelBank:
+    z = np.load(path, allow_pickle=False)
+    return ModelBank(
+        view_xyz=jnp.asarray(z["view_xyz"]),
+        view_mask=jnp.asarray(z["view_mask"]),
+        key_xyz=jnp.asarray(z["key_xyz"]),
+        key_valid=jnp.asarray(z["key_valid"]),
+        desc=jnp.asarray(z["desc"]),
+        rf=jnp.asarray(z["rf"]),
+        poses=jnp.asarray(z["poses"]),
+        params_hash=str(z["params_hash"]),
+    )

@@ -1,0 +1,287 @@
+"""End-to-end 6D pose detection pipeline — layer L6 (SURVEY.md §3.1-3.2).
+
+Reproduces the reference's driver programs (``SHOT.cpp:204-523``,
+``SHOT_demo.cpp``, ``6Dpose.cpp``) as one jitted function:
+
+  scene → [segment] → normals → keypoints → descriptors (+LRFs)
+        → match against ALL bank views in one tiled matmul
+        → Hough/GC grouping vmapped over views
+        → top candidates → ICP refine → best instance by fitness
+        → full-CAD pose composition with the view's ground-truth T_org
+        → [global hypothesis verification] → OBB
+
+The reference iterates 42 views with per-view disk loads and early-exit
+flags (``SHOT.cpp:239-265``, ``l=54`` break at ``:521``); TPU-style, all
+views are matched and grouped *simultaneously* (compute-all, select-best —
+SURVEY.md §7 'data-dependent control flow'), which is also what makes a
+batched multi-scene mode trivial (`vmap` over scenes, shard over a mesh).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_joints.config import DetectionConfig
+from tpu_joints.core.cloud import Cloud
+from tpu_joints.core.transforms import compose
+from tpu_joints.features.fpfh import compute_fpfh
+from tpu_joints.features.lrf import shot_lrf
+from tpu_joints.features.normals import estimate_normals
+from tpu_joints.features.shot import compute_shot
+from tpu_joints.filters import compact_cloud, uniform_sample_mask, voxel_downsample
+from tpu_joints.modelbank.bank import ModelBank
+from tpu_joints.neighbors import radius_neighbors
+from tpu_joints.recognize.gc import gc_group
+from tpu_joints.recognize.hough import Instances, hough_group
+from tpu_joints.recognize.hv import verify_hypotheses
+from tpu_joints.recognize.icp import fitness_score, icp
+from tpu_joints.recognize.matching import Correspondences
+from tpu_joints.recognize.obb import OBB, oriented_bounding_box
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class SceneFeatures(NamedTuple):
+    cloud: Cloud           # (possibly segmentation-cropped) scene
+    normals: jnp.ndarray   # [N, 3]
+    keys: Cloud            # [Ms] keypoints
+    desc: jnp.ndarray      # [Ms, D]
+    desc_valid: jnp.ndarray
+    rf: jnp.ndarray        # [Ms, 3, 3]
+    rf_ok: jnp.ndarray
+
+
+class DetectionResult(NamedTuple):
+    """Best instance + all refined candidates (compute-all, select-best)."""
+
+    full_pose: jnp.ndarray       # [4, 4] CAD model → scene (pose · T_org)
+    view_pose: jnp.ndarray       # [4, 4] view cloud → scene (icp ∘ hough)
+    fitness: jnp.ndarray         # PCL-style mean squared NN distance
+    accepted: jnp.ndarray        # fitness < cfg.accept_fitness
+    view_idx: jnp.ndarray        # winning bank view
+    n_corrs: jnp.ndarray         # supporting correspondences of the winner
+    # all refined candidates (C = cfg.max_candidates):
+    cand_poses: jnp.ndarray      # [C, 4, 4] view→scene
+    cand_fitness: jnp.ndarray    # [C]
+    cand_views: jnp.ndarray      # [C]
+    cand_valid: jnp.ndarray      # [C]
+    cand_verified: jnp.ndarray   # [C] HV mask (all-True when HV disabled)
+    obb: OBB                     # box around the aligned winning view
+    metrics: dict                # per-stage counts (traced scalars)
+
+
+def prepare_scene(
+    scene: Cloud, cfg: DetectionConfig, viewpoint: Optional[jnp.ndarray] = None
+) -> SceneFeatures:
+    """Normals → [region-growing crop] → keypoints → descriptors + LRFs."""
+    if viewpoint is None:
+        viewpoint = jnp.zeros(3, jnp.float32)
+    normals, curvature = estimate_normals(scene, k=cfg.normal_k, viewpoint=viewpoint)
+
+    if cfg.segment_scene:
+        from tpu_joints.segment import cluster_curvature_filter, region_growing
+
+        clusters = region_growing(
+            scene, normals, curvature,
+            k=min(30, cfg.normal_k),
+            smoothness_deg=cfg.rg_smoothness_deg,
+            curvature_threshold=cfg.rg_curvature,
+            min_cluster_size=cfg.rg_min_cluster,
+        )
+        keep = cluster_curvature_filter(
+            clusters, curvature, scene.mask, cfg.cluster_max_curvature
+        )
+        scene = scene.with_mask(keep)
+
+    keep = uniform_sample_mask(scene, cfg.scene_ss)
+    keys, kidx = compact_cloud(scene, keep, cfg.scene_key_capacity)
+
+    if cfg.descriptor == "shot":
+        desc, rf, valid = compute_shot(keys, scene, normals, radius=cfg.descr_rad,
+                                       k_max=cfg.k_max)
+        rf_ok = valid
+    elif cfg.descriptor == "fpfh":
+        desc, valid = compute_fpfh(keys, normals[kidx], scene, normals,
+                                   radius=cfg.descr_rad, k_max=cfg.k_max)
+        nidx, nwithin, _ = radius_neighbors(
+            keys.xyz, scene.xyz, cfg.rf_rad, cfg.k_max, source_mask=scene.mask
+        )
+        rf, rf_ok = shot_lrf(keys.xyz, scene.xyz[nidx],
+                             nwithin & keys.mask[:, None], cfg.rf_rad)
+    else:
+        raise ValueError(f"unknown descriptor {cfg.descriptor!r}")
+
+    return SceneFeatures(cloud=scene, normals=normals, keys=keys,
+                         desc=desc, desc_valid=valid, rf=rf, rf_ok=rf_ok)
+
+
+def match_bank(
+    scene_desc: jnp.ndarray,
+    scene_valid: jnp.ndarray,
+    bank_desc: jnp.ndarray,
+    bank_valid: jnp.ndarray,
+    cfg: DetectionConfig,
+) -> Correspondences:
+    """Per-view matching as one MXU matmul.
+
+    The reference matches the scene against one view at a time inside its
+    42-iteration loop (``SHOT.cpp:403-424``); here the [Ms, V·Mk] distance
+    matrix is computed once and reduced per view.
+
+    Returns a Correspondences pytree with leading view axis: model_idx
+    int32[V, Ms] (indices into that view's keypoints), valid[V, Ms],
+    dist_sq[V, Ms].
+    """
+    V, Mk, D = bank_desc.shape
+    flat = bank_desc.reshape(V * Mk, D)
+    s2 = jnp.sum(scene_desc * scene_desc, axis=-1, keepdims=True)  # [Ms,1]
+    b2 = jnp.sum(flat * flat, axis=-1)  # [V*Mk]
+    d = s2 + b2[None, :] - 2.0 * jnp.dot(scene_desc, flat.T, precision=_HI)
+    d = jnp.maximum(d, 0.0).reshape(-1, V, Mk)
+    d = jnp.where(bank_valid[None, :, :], d, jnp.float32(3e38))
+
+    if cfg.match_mode == "nn":
+        idx = jnp.argmin(d, axis=-1)  # [Ms, V]
+        d1 = jnp.take_along_axis(d, idx[..., None], axis=-1)[..., 0]
+        ok = scene_valid[:, None] & (d1 < cfg.match_threshold)
+    elif cfg.match_mode == "ratio":
+        neg2, idx2 = jax.lax.top_k(-d, 2)  # [Ms, V, 2]
+        d1, d2 = -neg2[..., 0], -neg2[..., 1]
+        idx = idx2[..., 0]
+        ok = (
+            scene_valid[:, None]
+            & (d1 <= cfg.ratio * cfg.ratio * jnp.maximum(d2, 1e-20))
+            & (d2 < 1e30)
+        )
+    else:
+        raise ValueError(f"unknown match mode {cfg.match_mode!r}")
+    return Correspondences(
+        model_idx=jnp.swapaxes(idx, 0, 1).astype(jnp.int32),
+        valid=jnp.swapaxes(ok, 0, 1),
+        dist_sq=jnp.swapaxes(d1, 0, 1),
+    )
+
+
+def _group_all_views(
+    feats: SceneFeatures, bank: ModelBank, corrs: Correspondences,
+    cfg: DetectionConfig,
+) -> Instances:
+    """Correspondence grouping vmapped over the view axis."""
+    if cfg.algorithm == "hough":
+        def per_view(mk, mrf, mvalid, c):
+            return hough_group(
+                feats.keys.xyz, feats.rf, feats.rf_ok,
+                mk, mrf, mvalid, mvalid, c,
+                bin_size=cfg.cg_size, threshold=cfg.cg_thresh,
+                max_instances=cfg.max_instances_per_view,
+                use_distance_weight=cfg.use_distance_weight,
+            )
+    elif cfg.algorithm == "gc":
+        def per_view(mk, mrf, mvalid, c):
+            return gc_group(
+                feats.keys.xyz, mk, mvalid, c,
+                gc_size=cfg.cg_size, gc_threshold=cfg.cg_thresh,
+                max_instances=cfg.max_instances_per_view,
+            )
+    else:
+        raise ValueError(f"unknown grouping algorithm {cfg.algorithm!r}")
+    return jax.vmap(per_view)(bank.key_xyz, bank.rf, bank.key_valid, corrs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect(
+    scene: Cloud,
+    bank: ModelBank,
+    cfg: DetectionConfig = DetectionConfig(),
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> DetectionResult:
+    """One scene → best 6D pose (plus all candidates)."""
+    feats = prepare_scene(scene, cfg, viewpoint)
+    corrs = match_bank(feats.desc, feats.desc_valid, bank.desc, bank.key_valid, cfg)
+    inst = _group_all_views(feats, bank, corrs, cfg)
+
+    V = bank.desc.shape[0]
+    P = cfg.max_instances_per_view
+    C = cfg.max_candidates
+    votes = jnp.where(inst.valid, inst.votes, -1.0).reshape(V * P)
+    top_votes, top_flat = jax.lax.top_k(votes, C)
+    cand_views = top_flat // P
+    cand_valid = top_votes > 0.0
+    cand_init = inst.poses.reshape(V * P, 4, 4)[top_flat]
+    cand_ncorrs = inst.n_corrs.reshape(V * P)[top_flat]
+
+    def refine(view, T0):
+        src = Cloud(
+            xyz=bank.view_xyz[view],
+            mask=bank.view_mask[view],
+            rgb=jnp.zeros_like(bank.view_xyz[view]),
+        )
+        return icp(src, feats.cloud, T0, iterations=cfg.icp_iterations,
+                   max_corr_dist=cfg.icp_max_corr_dist, chunk=1024)
+
+    cand_poses, cand_fitness = jax.vmap(refine)(cand_views, cand_init)
+    cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
+
+    if cfg.hv_enabled:
+        from tpu_joints.core.transforms import transform_points
+
+        def registered(view, T):
+            xyz = transform_points(bank.view_xyz[view], T)
+            return xyz, bank.view_mask[view]
+
+        inst_xyz, inst_mask = jax.vmap(registered)(cand_views, cand_poses)
+        cand_verified = verify_hypotheses(
+            inst_xyz, inst_mask, cand_valid, feats.cloud,
+            inlier_threshold=cfg.hv_inlier_threshold,
+            outlier_regularizer=cfg.hv_regularizer,
+            chunk=1024,
+        )
+        effective_fitness = jnp.where(cand_verified, cand_fitness, jnp.float32(3e38))
+    else:
+        cand_verified = cand_valid
+        effective_fitness = cand_fitness
+
+    best = jnp.argmin(effective_fitness)
+    view_idx = cand_views[best]
+    view_pose = cand_poses[best]
+    fitness = cand_fitness[best]
+    # CAD model → scene: the view cloud is T_org(model), so compose with the
+    # bank's ground-truth view pose (reference ``Full_pose_new = icp·hough·T_org``,
+    # SHOT_demo.cpp:656).
+    full_pose = compose(view_pose, bank.poses[view_idx])
+
+    from tpu_joints.core.transforms import transform_points
+
+    aligned = Cloud(
+        xyz=transform_points(bank.view_xyz[view_idx], view_pose),
+        mask=bank.view_mask[view_idx],
+        rgb=jnp.zeros((bank.view_xyz.shape[1], 3), jnp.float32),
+    )
+    box = oriented_bounding_box(aligned)
+
+    metrics = {
+        "scene_points": feats.cloud.count(),
+        "scene_keypoints": feats.keys.count(),
+        "valid_descriptors": jnp.sum(feats.desc_valid.astype(jnp.int32)),
+        "correspondences": jnp.sum(corrs.valid.astype(jnp.int32)),
+        "instances": jnp.sum(inst.valid.astype(jnp.int32)),
+        "best_votes": top_votes[0],
+    }
+    return DetectionResult(
+        full_pose=full_pose,
+        view_pose=view_pose,
+        fitness=fitness,
+        accepted=(fitness < cfg.accept_fitness) & cand_valid[best] & cand_verified[best],
+        view_idx=view_idx,
+        n_corrs=cand_ncorrs[best],
+        cand_poses=cand_poses,
+        cand_fitness=cand_fitness,
+        cand_views=cand_views,
+        cand_valid=cand_valid,
+        cand_verified=cand_verified,
+        obb=box,
+        metrics=metrics,
+    )
