@@ -1,0 +1,136 @@
+"""Ring-sharded neighbor search for clouds larger than one chip's HBM.
+
+SURVEY.md §2.3 calls this the point-cloud analog of ring attention /
+context parallelism: the reference copes with its 307k-point organized
+scenes (``crop_pcd.cpp:76-77``) purely by downsampling on one CPU; here a
+giant cloud is sharded point-wise across the mesh and each device's query
+shard sees every source shard by rotating source blocks around the ring
+with ``lax.ppermute`` (ICI neighbor exchange), merging a running top-k.
+
+Per step each chip overlaps one MXU distance matmul on the resident block
+with the transfer of the next block — bandwidth-optimal: every source
+point crosses each ICI link exactly once, and the full [M, N] distance
+matrix never exists anywhere.
+
+Used by :func:`ring_knn`; the same pattern extends to sharded ICP (NN
+correspondences of a sharded model against a sharded scene).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+INF = jnp.float32(3.0e38)
+
+
+def _local_topk_merge(query, q2, best_d, best_i, s_blk, m_blk, base, k):
+    """Merge the distances to one source block into the running top-k."""
+    s2 = jnp.sum(s_blk * s_blk, axis=-1)
+    d = q2 + s2[None, :] - 2.0 * jnp.dot(
+        query, s_blk.T, precision=jax.lax.Precision.HIGHEST
+    )
+    d = jnp.maximum(d, 0.0)
+    d = jnp.where(m_blk[None, :], d, INF)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + base
+    cat_d = jnp.concatenate([best_d, d], axis=1)
+    cat_i = jnp.concatenate([best_i, col], axis=1)
+    neg, arg = jax.lax.top_k(-cat_d, k)
+    return -neg, jnp.take_along_axis(cat_i, arg, axis=1)
+
+
+def ring_knn(
+    query: jnp.ndarray,
+    source: jnp.ndarray,
+    source_mask: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "model",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN where both query and source are sharded point-wise over ``axis``.
+
+    Args:
+      query:  float32[M, D], shardable on axis 0 (M % n_devices == 0).
+      source: float32[N, D], shardable on axis 0.
+      source_mask: bool[N].
+      k: neighbors per query.
+      mesh: mesh containing ``axis``.
+
+    Returns:
+      (dist_sq float32[M, k], idx int32[M, k]) — indices are *global* source
+      row numbers; output is sharded like ``query``.
+    """
+    n_dev = mesh.shape[axis]
+    n_local = source.shape[0] // n_dev
+
+    def shard_fn(q, s, m):
+        me = jax.lax.axis_index(axis)
+        q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+        best_d = jnp.full((q.shape[0], k), INF)
+        best_i = jnp.zeros((q.shape[0], k), jnp.int32)
+        owner = me
+        s_cur, m_cur = s, m
+        for step in range(n_dev):
+            best_d, best_i = _local_topk_merge(
+                q, q2, best_d, best_i, s_cur, m_cur, owner * n_local, k
+            )
+            if step + 1 < n_dev:
+                s_cur = jax.lax.ppermute(s_cur, axis, perm)
+                m_cur = jax.lax.ppermute(m_cur, axis, perm)
+                owner = jax.lax.ppermute(owner, axis, perm)
+        return best_d, best_i
+
+    specs = {a: None for a in mesh.axis_names}
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    return fn(query, source, source_mask)
+
+
+def sharded_match_votes(
+    scene_desc: jnp.ndarray,
+    bank_desc: jnp.ndarray,
+    bank_valid: jnp.ndarray,
+    threshold: float,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Bank-sharded correspondence counting with an explicit ``psum`` merge.
+
+    The Ulysses-style bank split described in SURVEY.md §5: each device
+    holds a shard of the [V, Mk, D] descriptor bank, matches the (replicated)
+    scene descriptors against its shard locally on the MXU, and the per-view
+    vote counts [V] are reassembled with one all-gather — here expressed as
+    a shard_map so the collective is visible. Returns int32[V] counts of
+    scene keypoints whose 1-NN in that view passes the squared-distance gate
+    (reference's per-view match loop, ``SHOT.cpp:403-424``).
+    """
+
+    def shard_fn(sd, bd, bv):
+        Vl, Mk, D = bd.shape
+        flat = bd.reshape(Vl * Mk, D)
+        s2 = jnp.sum(sd * sd, axis=-1, keepdims=True)
+        b2 = jnp.sum(flat * flat, axis=-1)
+        d = s2 + b2[None, :] - 2.0 * jnp.dot(
+            sd, flat.T, precision=jax.lax.Precision.HIGHEST
+        )
+        d = jnp.maximum(d, 0.0).reshape(-1, Vl, Mk)
+        d = jnp.where(bv[None, :, :], d, INF)
+        d1 = jnp.min(d, axis=-1)  # [Ms, Vl]
+        return jnp.sum((d1 < threshold).astype(jnp.int32), axis=0)  # [Vl]
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return fn(scene_desc, bank_desc, bank_valid)
