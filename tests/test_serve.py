@@ -1,0 +1,145 @@
+"""Server-layer tests (SURVEY.md §4 'Server'): depth→cloud projection
+round-trip against the fake camera, and the HTTP server end-to-end with a
+fake scene — pose response, structured errors, health."""
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu_joints.serve import (
+    DetectionService,
+    FakeDepthCamera,
+    depth_to_cloud,
+    make_server,
+)
+
+from tests.util import joint_points
+
+
+def test_depth_cloud_roundtrip():
+    cam = FakeDepthCamera(width=160, height=120, fov_deg=57.0, near=0.05, far=5.0)
+    rng = np.random.default_rng(0)
+    pts = np.stack([
+        rng.uniform(-0.2, 0.2, 400),
+        rng.uniform(-0.15, 0.15, 400),
+        rng.uniform(0.8, 1.2, 400),
+    ], 1).astype(np.float32)
+    organized = cam.cloud(pts)
+    assert organized.shape == (120, 160, 3)
+    got = organized.reshape(-1, 3)
+    got = got[np.isfinite(got).all(axis=1)]
+    assert got.shape[0] > 100
+    # every recovered point lies near some input point (pixel quantization)
+    d = np.linalg.norm(got[:, None, :] - pts[None, :, :], axis=-1).min(axis=1)
+    assert np.median(d) < 0.02, f"median reprojection error {np.median(d)}"
+
+
+def test_depth_background_is_nan():
+    cam = FakeDepthCamera(width=64, height=48)
+    organized = cam.cloud(np.zeros((0, 3), np.float32))
+    assert np.isnan(organized).all()
+
+
+@pytest.fixture(scope="module")
+def service():
+    from tpu_joints.config import DetectionConfig
+    from tpu_joints.modelbank import build_bank
+
+    cfg = DetectionConfig(
+        descriptor="shot", descr_rad=0.12, model_ss=0.04, scene_ss=0.04,
+        normal_k=10, match_mode="nn", match_threshold=0.25,
+        algorithm="hough", cg_size=0.05, cg_thresh=3.0,
+        icp_iterations=5, max_candidates=2, max_instances_per_view=2,
+        scene_capacity=1024, scene_key_capacity=64, k_max=24,
+    )
+    rng = np.random.default_rng(0)
+    model_xyz, _ = joint_points(rng, n_chord=500, n_stub=300)
+    bank = build_bank(
+        model_xyz, descriptor="shot", descr_radius=cfg.descr_rad,
+        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
+        level=0, resolution=64, key_capacity=48,
+    )
+    svc = DetectionService(bank, cfg)
+    svc._model_xyz = model_xyz
+    return svc
+
+
+@pytest.fixture(scope="module")
+def server_url(service):
+    server = make_server(service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_detect_and_health(server_url, service):
+    from tpu_joints.modelbank import render_views
+
+    views, poses, _ = render_views(service._model_xyz, level=0, resolution=64)
+    v = int(np.argmax([w.shape[0] for w in views]))
+    pts = views[v].astype(np.float32)
+
+    body = {
+        "points_b64": base64.b64encode(pts.tobytes()).decode(),
+        "points_shape": list(pts.shape),
+    }
+    status, resp = _post(server_url + "/detect", body)
+    assert status == 200, resp
+    assert np.asarray(resp["pose"]).shape == (4, 4)
+    assert resp["fitness"] < 0.01
+    assert "grasp_centroid" in resp and len(resp["grasp_centroid"]) == 3
+    assert resp["metrics"]["correspondences"] > 0
+    assert resp["latency_ms"] > 0
+
+    with urllib.request.urlopen(server_url + "/healthz") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["requests"] >= 1
+
+
+def test_server_structured_errors(server_url):
+    status, resp = _post(server_url + "/detect", {})
+    assert status == 400 and "error" in resp
+
+    status, resp = _post(server_url + "/detect", {"points": [[1, 2], [3, 4]]})
+    assert status == 400 and "points must be" in resp["error"]
+
+    status, resp = _post(server_url + "/nope", {})
+    assert status == 404
+
+
+def test_server_depth_request(server_url, service):
+    from tpu_joints.core.transforms import transform_points
+    from tpu_joints.modelbank import view_poses
+    import jax.numpy as jnp
+
+    poses = view_poses(service._model_xyz, level=0)
+    cam_pts = np.asarray(
+        transform_points(jnp.asarray(service._model_xyz), jnp.asarray(poses[0]))
+    )
+    cam = FakeDepthCamera(width=160, height=120, near=0.05, far=5.0)
+    depth = cam.render(cam_pts)
+    body = {
+        "depth_b64": base64.b64encode(depth.tobytes()).decode(),
+        "depth_shape": list(depth.shape),
+        "fov_deg": cam.fov_deg, "near": cam.near, "far": cam.far,
+    }
+    status, resp = _post(server_url + "/detect", body)
+    assert status == 200, resp
+    assert resp["metrics"]["scene_points"] > 50

@@ -1,0 +1,214 @@
+"""Streaming detection server (SURVEY.md A30).
+
+The reference's serving story is ROS: a detector node subscribes to
+``/camera/depth_registered/points`` (``SHOT.cpp:598``), runs the pipeline in
+the message callback, and — after an operator confirms — publishes a grasp
+centroid for the robot controller on ``ModelPos`` as a ``Vector3`` at 10 Hz
+(``FPFH_demo.cpp:434``, ``:890-915``). The TPU-native replacement is a
+plain HTTP/JSON server wrapping the jitted pipeline:
+
+  POST /detect   — body carries a scene (raw points, or a depth image that
+                   is unprojected with the A31 math); response carries the
+                   full 4×4 pose, fitness, acceptance, the grasp centroid
+                   (the Vector3 of the reference, with its configurable
+                   offset), per-stage metrics, and latency.
+  GET  /healthz  — liveness + device info.
+
+Design notes (SURVEY.md §5): requests are serialized through one lock
+(single-writer; JAX is functional so there is nothing else to race);
+malformed scenes return structured 4xx errors instead of the reference's
+continue-with-stale-cloud hazard (``SHOT.cpp:260-265``); every response
+embeds the per-stage metrics dict (counts/scores/latency) that replaces
+printf observability.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tpu_joints.config import DetectionConfig
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.modelbank.bank import ModelBank
+from tpu_joints.serve.depth import depth_to_cloud
+
+
+class BadRequest(Exception):
+    pass
+
+
+def _decode_array(obj: dict, key: str) -> np.ndarray:
+    """Accept either ``{key: nested list}`` or ``{key_b64, key_shape}``."""
+    if key in obj:
+        return np.asarray(obj[key], np.float32)
+    b64 = obj.get(f"{key}_b64")
+    shape = obj.get(f"{key}_shape")
+    if b64 is None or shape is None:
+        raise BadRequest(f"missing '{key}' (or '{key}_b64' + '{key}_shape')")
+    try:
+        raw = np.frombuffer(base64.b64decode(b64, validate=True), np.float32)
+        return raw.reshape(shape).copy()
+    except (ValueError, TypeError) as e:
+        raise BadRequest(f"bad '{key}_b64' payload: {e}") from None
+
+
+def scene_points_from_request(obj: dict) -> np.ndarray:
+    """Extract [N, 3] scene points from a /detect body (points or depth)."""
+    if "points" in obj or "points_b64" in obj:
+        pts = _decode_array(obj, "points")
+        if pts.ndim != 2 or pts.shape[1] != 3:
+            raise BadRequest(f"points must be [N, 3], got {list(pts.shape)}")
+        return pts
+    if "depth" in obj or "depth_b64" in obj:
+        depth = _decode_array(obj, "depth")
+        if depth.ndim != 2:
+            raise BadRequest(f"depth must be [H, W], got {list(depth.shape)}")
+        xyz = depth_to_cloud(
+            depth,
+            fov_deg=float(obj.get("fov_deg", 57.0)),
+            near=float(obj.get("near", 0.0)),
+            far=float(obj.get("far", 0.0)),
+        )
+        return xyz.reshape(-1, 3)
+    raise BadRequest("request needs 'points'/'points_b64' or 'depth'/'depth_b64'")
+
+
+class DetectionService:
+    """The jitted pipeline behind the HTTP front — usable directly too."""
+
+    def __init__(
+        self,
+        bank: ModelBank,
+        cfg: DetectionConfig = DetectionConfig(),
+        grasp_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    ):
+        self.bank = bank
+        self.cfg = cfg
+        self.grasp_offset = np.asarray(grasp_offset, np.float32)
+        self._lock = threading.Lock()
+        self.n_requests = 0
+        self.n_errors = 0
+
+    def warmup(self) -> None:
+        """Compile the pipeline before the first request lands."""
+        dummy = np.zeros((16, 3), np.float32)
+        self.detect_points(dummy)
+
+    def detect_points(self, pts: np.ndarray) -> dict:
+        import jax
+
+        from tpu_joints.core.transforms import transform_points
+        from tpu_joints.pipelines.detect import detect
+
+        pts = np.asarray(pts, np.float32).reshape(-1, 3)
+        pts = pts[np.isfinite(pts).all(axis=1)]
+        cap = self.cfg.scene_capacity
+        if pts.shape[0] > cap:
+            # deterministic stride subsample to the pipeline's working set
+            idx = np.linspace(0, pts.shape[0] - 1, cap).astype(np.int64)
+            pts = pts[idx]
+        scene = make_cloud(pts, capacity=cap)
+
+        with self._lock:
+            t0 = time.perf_counter()
+            res = detect(scene, self.bank, self.cfg)
+            jax.block_until_ready(res.full_pose)
+            latency_ms = (time.perf_counter() - t0) * 1000.0
+            self.n_requests += 1
+
+        view = int(res.view_idx)
+        aligned = np.asarray(
+            transform_points(self.bank.view_xyz[view], res.view_pose)
+        )
+        vmask = np.asarray(self.bank.view_mask[view])
+        centroid = aligned[vmask].mean(axis=0) if vmask.any() else np.zeros(3)
+        return {
+            "pose": np.asarray(res.full_pose).tolist(),
+            "view_pose": np.asarray(res.view_pose).tolist(),
+            "fitness": float(res.fitness),
+            "accepted": bool(res.accepted),
+            "view_idx": view,
+            "n_corrs": int(res.n_corrs),
+            "grasp_centroid": (centroid + self.grasp_offset).tolist(),
+            "obb": {
+                "position": np.asarray(res.obb.position).tolist(),
+                "rotation": np.asarray(res.obb.rotation).tolist(),
+                "extents": np.asarray(res.obb.extents).tolist(),
+                "euler_deg": np.degrees(np.asarray(res.obb.euler)).tolist(),
+            },
+            "metrics": {k: float(np.asarray(v)) for k, v in res.metrics.items()},
+            "latency_ms": round(latency_ms, 3),
+        }
+
+    def handle(self, obj: dict) -> dict:
+        return self.detect_points(scene_points_from_request(obj))
+
+
+def make_server(
+    service: DetectionService, host: str = "127.0.0.1", port: int = 8337
+) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                import jax
+
+                self._send(200, {
+                    "status": "ok",
+                    "device": str(jax.devices()[0]),
+                    "requests": service.n_requests,
+                    "errors": service.n_errors,
+                    "bank_views": int(service.bank.n_views),
+                })
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/detect":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                obj = json.loads(self.rfile.read(n) or b"{}")
+                self._send(200, service.handle(obj))
+            except BadRequest as e:
+                service.n_errors += 1
+                self._send(400, {"error": str(e)})
+            except json.JSONDecodeError as e:
+                service.n_errors += 1
+                self._send(400, {"error": f"invalid JSON: {e}"})
+            except Exception as e:  # structured 500 instead of a dropped socket
+                service.n_errors += 1
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet; metrics live in responses
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(
+    bank: ModelBank,
+    cfg: DetectionConfig = DetectionConfig(),
+    host: str = "127.0.0.1",
+    port: int = 8337,
+    grasp_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+) -> None:
+    service = DetectionService(bank, cfg, grasp_offset)
+    service.warmup()
+    server = make_server(service, host, port)
+    print(f"tpu_joints detection server on http://{host}:{port} "
+          f"(bank: {bank.n_views} views)")
+    server.serve_forever()
