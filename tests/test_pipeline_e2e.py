@@ -75,6 +75,29 @@ def jnp_metrics(res):
     return {k: np.asarray(v).item() for k, v in res.metrics.items()}
 
 
+def test_final_full_cad_icp_polish(rng):
+    """SHOT_demo.cpp:641-686: composed-pose ICP on the full CAD + the
+    score2 < 0.006 gate tightens (or preserves) the recovered pose."""
+    import dataclasses
+
+    model_xyz, scene_xyz, T_gt = _make_problem(rng)
+    cfg = dataclasses.replace(CFG, final_icp_iterations=3)
+    bank = build_bank(
+        model_xyz, descriptor=cfg.descriptor, descr_radius=cfg.descr_rad,
+        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
+        level=0, resolution=96, key_capacity=128,
+    )
+    scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
+    res = detect(scene, bank, cfg)
+    assert bool(res.accepted)
+    assert float(res.full_fitness) < 0.006  # the reference's score2 gate
+    T_est = np.asarray(res.full_pose)
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T_gt[:3, :3]),
+                                         jnp.asarray(T_est[:3, :3])))
+    terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    assert ang < 1.0 and terr < 0.005
+
+
 def test_bank_roundtrip(tmp_path, rng):
     model_xyz, _ = joint_points(rng, n_chord=400, n_stub=200)
     bank = build_bank(model_xyz, level=0, resolution=64, key_capacity=64,

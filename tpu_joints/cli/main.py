@@ -74,6 +74,11 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cg_thresh", type=float, default=None)
     p.add_argument("--match_threshold", type=float, default=None)
     p.add_argument("--scene_capacity", type=int, default=None)
+    p.add_argument("--final_icp", type=int, default=None, dest="final_icp_iterations",
+                   help="iterations of composed-pose ICP on the full CAD "
+                        "(SHOT_demo's chained refinement; 0 disables)")
+    p.add_argument("--no-segment", action="store_true",
+                   help="disable region-growing scene segmentation")
     p.add_argument("-k", dest="use_keypoints", action="store_true",
                    help="(reference -k) show/use keypoints — accepted for parity")
     p.add_argument("-c", dest="show_correspondences", action="store_true",
@@ -92,10 +97,13 @@ def _config_from_args(args) -> "DetectionConfig":
     if args.algorithm:
         over["algorithm"] = args.algorithm.lower()
     for name in ("model_ss", "scene_ss", "rf_rad", "descr_rad", "cg_size",
-                 "cg_thresh", "match_threshold", "scene_capacity"):
+                 "cg_thresh", "match_threshold", "scene_capacity",
+                 "final_icp_iterations"):
         v = getattr(args, name)
         if v is not None:
             over[name] = v
+    if getattr(args, "no_segment", False):
+        over["segment_scene"] = False
     return dataclasses.replace(cfg, **over) if over else cfg
 
 

@@ -44,6 +44,10 @@ class DetectionConfig:
     icp_max_corr_dist: float = 3.0e38 # SHOT_hypothesis.cpp:511 uses 0.001
     max_candidates: int = 4           # instances refined by ICP
     accept_fitness: float = 0.001     # SHOT.cpp:187
+    # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
+    # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
+    final_icp_iterations: int = 0
+    final_accept_fitness: float = 0.006
     # verification (SHOT_hypothesis.cpp:56-64)
     hv_enabled: bool = False
     hv_inlier_threshold: float = 0.005
@@ -81,18 +85,18 @@ SHOT_SEGMENT = DetectionConfig(
 
 SHOT_DEMO = DetectionConfig(
     # SHOT_demo.cpp: region-growing scene crop, VoxelGrid 0.03 keypoints,
-    # ratio-test τ ≤ 1, chained ICP accept < 0.006
+    # ratio-test τ ≤ 1, chained full-CAD ICP accept < 0.006
     descriptor="shot", scene_ss=0.03, model_ss=0.02,
     match_mode="ratio", ratio=1.0, segment_scene=True,
-    accept_fitness=0.006,
+    accept_fitness=0.006, final_icp_iterations=3,
 )
 
 FPFH_DEMO = DetectionConfig(
     # FPFH_demo.cpp: FPFH r=0.15, VoxelGrid 0.03/0.02, ratio τ ≤ 1,
-    # region-growing crop, accept < 0.006
+    # region-growing crop, chained full-CAD ICP accept < 0.006
     descriptor="fpfh", descr_rad=0.15, scene_ss=0.03, model_ss=0.02,
     match_mode="ratio", ratio=1.0, segment_scene=True,
-    accept_fitness=0.006,
+    accept_fitness=0.006, final_icp_iterations=3,
 )
 
 SHOT_HYPOTHESIS = DetectionConfig(

@@ -34,7 +34,8 @@ from tpu_joints.neighbors import radius_neighbors
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["view_xyz", "view_mask", "key_xyz", "key_valid", "desc", "rf", "poses"],
+    data_fields=["view_xyz", "view_mask", "key_xyz", "key_valid", "desc", "rf",
+                 "poses", "model_xyz", "model_mask"],
     meta_fields=["params_hash"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +45,12 @@ class ModelBank:
     A pytree: the arrays are jit-traceable data, ``params_hash`` is static
     metadata (part of the jit cache key, so two banks built with different
     parameters never share a stale executable).
+
+    ``model_xyz/model_mask`` carry the (downsampled) full CAD cloud — the
+    reference loads ``stubcad.pcd`` alongside the partial views
+    (``SHOT_demo.cpp:245``) to run its final composed-pose ICP and the
+    ``score2 < 0.006`` acceptance on the *full* model
+    (``SHOT_demo.cpp:641-686``).
     """
 
     view_xyz: jnp.ndarray   # [V, Nv, 3] partial view clouds (camera frame)
@@ -53,7 +60,13 @@ class ModelBank:
     desc: jnp.ndarray       # [V, Mk, D]
     rf: jnp.ndarray         # [V, Mk, 3, 3] local reference frames
     poses: jnp.ndarray      # [V, 4, 4] model→camera ground truth (pose.txt)
+    model_xyz: jnp.ndarray  # [Nm, 3] full CAD cloud (model frame)
+    model_mask: jnp.ndarray # [Nm]
     params_hash: str = ""
+
+    def model_cloud(self) -> Cloud:
+        return Cloud(xyz=self.model_xyz, mask=self.model_mask,
+                     rgb=jnp.zeros_like(self.model_xyz))
 
     @property
     def n_views(self) -> int:
@@ -65,6 +78,28 @@ class ModelBank:
             mask=self.view_mask[v],
             rgb=jnp.zeros_like(self.view_xyz[v]),
         )
+
+
+def gather_views(bank: ModelBank, idx: jnp.ndarray) -> ModelBank:
+    """Sub-bank of the given view indices (static count, traced values).
+
+    The per-view arrays are gathered along the view axis; the full-CAD
+    cloud and metadata are shared. Used by the coarse-to-fine cluster-tree
+    search (SURVEY.md A29) to run the standard pipeline on a view subset.
+    """
+    idx = jnp.asarray(idx, jnp.int32)
+    return ModelBank(
+        view_xyz=bank.view_xyz[idx],
+        view_mask=bank.view_mask[idx],
+        key_xyz=bank.key_xyz[idx],
+        key_valid=bank.key_valid[idx],
+        desc=bank.desc[idx],
+        rf=bank.rf[idx],
+        poses=bank.poses[idx],
+        model_xyz=bank.model_xyz,
+        model_mask=bank.model_mask,
+        params_hash=bank.params_hash,
+    )
 
 
 def _params_hash(params: dict) -> str:
@@ -132,6 +167,13 @@ def build_bank(
         sampling_radius=sampling_radius, normal_k=normal_k, k_max=k_max,
         level=level, resolution=resolution, n_views=len(views),
     )
+    # full CAD cloud for the composed-pose final ICP (SHOT_demo.cpp:245,
+    # :641-686); downsample to the view capacity so shapes stay bounded
+    model_xyz = np.asarray(model_xyz, np.float32).reshape(-1, 3)
+    if model_xyz.shape[0] > view_capacity:
+        sel = np.linspace(0, model_xyz.shape[0] - 1, view_capacity).astype(np.int64)
+        model_xyz = model_xyz[sel]
+    model = make_cloud(model_xyz, capacity=view_capacity)
     return ModelBank(
         view_xyz=jnp.stack(all_view_xyz),
         view_mask=jnp.stack(all_view_mask),
@@ -140,6 +182,8 @@ def build_bank(
         desc=jnp.stack(all_desc),
         rf=jnp.stack(all_rf),
         poses=jnp.asarray(poses),
+        model_xyz=model.xyz,
+        model_mask=model.mask,
         params_hash=_params_hash(params),
     )
 
@@ -154,12 +198,21 @@ def save_bank(path: str, bank: ModelBank) -> None:
         desc=np.asarray(bank.desc),
         rf=np.asarray(bank.rf),
         poses=np.asarray(bank.poses),
+        model_xyz=np.asarray(bank.model_xyz),
+        model_mask=np.asarray(bank.model_mask),
         params_hash=np.asarray(bank.params_hash),
     )
 
 
 def load_bank(path: str) -> ModelBank:
     z = np.load(path, allow_pickle=False)
+    if "model_xyz" in z.files:
+        model_xyz = jnp.asarray(z["model_xyz"])
+        model_mask = jnp.asarray(z["model_mask"])
+    else:  # banks saved before the full-CAD field existed
+        nv = z["view_xyz"].shape[1]
+        model_xyz = jnp.full((nv, 3), 1.0e6, jnp.float32)
+        model_mask = jnp.zeros((nv,), bool)
     return ModelBank(
         view_xyz=jnp.asarray(z["view_xyz"]),
         view_mask=jnp.asarray(z["view_mask"]),
@@ -168,5 +221,7 @@ def load_bank(path: str) -> ModelBank:
         desc=jnp.asarray(z["desc"]),
         rf=jnp.asarray(z["rf"]),
         poses=jnp.asarray(z["poses"]),
+        model_xyz=model_xyz,
+        model_mask=model_mask,
         params_hash=str(z["params_hash"]),
     )

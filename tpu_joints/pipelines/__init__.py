@@ -1,9 +1,25 @@
+from tpu_joints.pipelines.cluster_tree import (
+    ViewClusters,
+    detect_tree,
+    make_view_clusters,
+)
 from tpu_joints.pipelines.detect import (
     DetectionResult,
     SceneFeatures,
     detect,
+    detect_with_features,
     match_bank,
     prepare_scene,
 )
 
-__all__ = ["DetectionResult", "SceneFeatures", "detect", "match_bank", "prepare_scene"]
+__all__ = [
+    "DetectionResult",
+    "SceneFeatures",
+    "ViewClusters",
+    "detect",
+    "detect_tree",
+    "detect_with_features",
+    "make_view_clusters",
+    "match_bank",
+    "prepare_scene",
+]

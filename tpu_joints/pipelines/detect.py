@@ -60,6 +60,8 @@ class DetectionResult(NamedTuple):
     full_pose: jnp.ndarray       # [4, 4] CAD model → scene (pose · T_org)
     view_pose: jnp.ndarray       # [4, 4] view cloud → scene (icp ∘ hough)
     fitness: jnp.ndarray         # PCL-style mean squared NN distance
+    full_fitness: jnp.ndarray    # fitness of the FULL CAD at full_pose
+                                 # (the reference's score2, SHOT_demo.cpp:669)
     accepted: jnp.ndarray        # fitness < cfg.accept_fitness
     view_idx: jnp.ndarray        # winning bank view
     n_corrs: jnp.ndarray         # supporting correspondences of the winner
@@ -200,6 +202,20 @@ def detect(
 ) -> DetectionResult:
     """One scene → best 6D pose (plus all candidates)."""
     feats = prepare_scene(scene, cfg, viewpoint)
+    return detect_with_features(feats, bank, cfg)
+
+
+def detect_with_features(
+    feats: SceneFeatures,
+    bank: ModelBank,
+    cfg: DetectionConfig,
+) -> DetectionResult:
+    """Match → group → refine → compose against one (sub-)bank.
+
+    Factored out of :func:`detect` so coarse-to-fine policies (the cluster
+    tree of ``FPFH_scenes_clustered.cpp``, SURVEY.md A29) can reuse the
+    whole chain on gathered view subsets without re-extracting features.
+    """
     corrs = match_bank(feats.desc, feats.desc_valid, bank.desc, bank.key_valid, cfg)
     inst = _group_all_views(feats, bank, corrs, cfg)
 
@@ -253,6 +269,26 @@ def detect(
     # SHOT_demo.cpp:656).
     full_pose = compose(view_pose, bank.poses[view_idx])
 
+    if cfg.final_icp_iterations > 0:
+        # chained ICP on the FULL CAD at the composed pose — the reference's
+        # final 1-iteration refinements + score2 gate (SHOT_demo.cpp:641-686)
+        polished, full_fitness = icp(
+            bank.model_cloud(), feats.cloud, full_pose,
+            iterations=cfg.final_icp_iterations,
+            max_corr_dist=cfg.icp_max_corr_dist, chunk=1024,
+        )
+        # banks saved before the full-CAD field existed carry an empty model
+        has_model = jnp.any(bank.model_mask)
+        full_pose = jnp.where(has_model, polished, full_pose)
+        full_fitness = jnp.where(has_model, full_fitness, fitness)
+        accepted = jnp.where(has_model,
+                             full_fitness < cfg.final_accept_fitness,
+                             fitness < cfg.accept_fitness)
+    else:
+        full_fitness = fitness  # no extra NN pass when the polish is off
+        accepted = (fitness < cfg.accept_fitness)
+    accepted = accepted & cand_valid[best] & cand_verified[best]
+
     from tpu_joints.core.transforms import transform_points
 
     aligned = Cloud(
@@ -274,7 +310,8 @@ def detect(
         full_pose=full_pose,
         view_pose=view_pose,
         fitness=fitness,
-        accepted=(fitness < cfg.accept_fitness) & cand_valid[best] & cand_verified[best],
+        full_fitness=full_fitness,
+        accepted=accepted,
         view_idx=view_idx,
         n_corrs=cand_ncorrs[best],
         cand_poses=cand_poses,

@@ -131,6 +131,7 @@ class DetectionService:
             "pose": np.asarray(res.full_pose).tolist(),
             "view_pose": np.asarray(res.view_pose).tolist(),
             "fitness": float(res.fitness),
+            "full_fitness": float(res.full_fitness),
             "accepted": bool(res.accepted),
             "view_idx": view,
             "n_corrs": int(res.n_corrs),
