@@ -48,7 +48,36 @@ def _unpack_pcl_rgb(raw: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=1).astype(np.float32) / 255.0
 
 
+def _pcd_header_fields(path: str) -> list:
+    """Cheap sniff of the FIELDS line (first KB) for fast-path dispatch."""
+    with open(path, "rb") as f:
+        head = f.read(1024).decode("ascii", "replace")
+    for line in head.splitlines():
+        if line.upper().startswith("FIELDS"):
+            return line.split()[1:]
+    return []
+
+
 def load_pcd(path: str) -> PointData:
+    # fast path: the native C++ parser handles xyz(+rgb) files; fall back to
+    # the Python decoder when the file carries normals/curvature or the
+    # toolchain is unavailable
+    fields = _pcd_header_fields(path)
+    if fields and not any(f.startswith("normal") or f == "curvature" for f in fields):
+        try:
+            from tpu_joints.native import load_pcd_native
+
+            res = load_pcd_native(path)
+        except Exception:
+            res = None
+        if res is not None:
+            xyz, rgb = res
+            finite_rgb = rgb if rgb is not None else None
+            return PointData(xyz=xyz, rgb=finite_rgb)
+    return _load_pcd_py(path)
+
+
+def _load_pcd_py(path: str) -> PointData:
     with open(path, "rb") as f:
         header: Dict[str, List[str]] = {}
         while True:

@@ -106,13 +106,29 @@ class DetectionService:
         from tpu_joints.pipelines.detect import detect
 
         pts = np.asarray(pts, np.float32).reshape(-1, 3)
-        pts = pts[np.isfinite(pts).all(axis=1)]
         cap = self.cfg.scene_capacity
-        if pts.shape[0] > cap:
-            # deterministic stride subsample to the pipeline's working set
-            idx = np.linspace(0, pts.shape[0] - 1, cap).astype(np.int64)
-            pts = pts[idx]
-        scene = make_cloud(pts, capacity=cap)
+        ingested = None
+        try:
+            from tpu_joints.native import ingest_native
+
+            ingested = ingest_native(pts, cap)  # C++ NaN-filter + subsample + pad
+        except Exception:
+            ingested = None
+        if ingested is not None:
+            import jax.numpy as jnp
+
+            from tpu_joints.core.cloud import Cloud
+
+            out, mask, _ = ingested
+            scene = Cloud(xyz=jnp.asarray(out), mask=jnp.asarray(mask),
+                          rgb=jnp.zeros((cap, 3), jnp.float32))
+        else:
+            pts = pts[np.isfinite(pts).all(axis=1)]
+            if pts.shape[0] > cap:
+                # deterministic stride subsample to the pipeline's working set
+                idx = np.linspace(0, pts.shape[0] - 1, cap).astype(np.int64)
+                pts = pts[idx]
+            scene = make_cloud(pts, capacity=cap)
 
         with self._lock:
             t0 = time.perf_counter()
