@@ -1,0 +1,44 @@
+"""Multi-part ({chord, stub}) detection tests (SURVEY.md §2.1 part loop)."""
+import numpy as np
+
+from tpu_joints.config import DetectionConfig
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.modelbank import build_bank, render_views
+from tpu_joints.pipelines import detect_parts
+
+from tests.util import cylinder_points
+
+CFG = DetectionConfig(
+    descriptor="shot", descr_rad=0.12, model_ss=0.04, scene_ss=0.04,
+    normal_k=10, match_mode="nn", match_threshold=0.25,
+    algorithm="hough", cg_size=0.05, cg_thresh=3.0,
+    icp_iterations=10, max_candidates=2, max_instances_per_view=2,
+    scene_capacity=1024, scene_key_capacity=64, k_max=24,
+)
+
+
+def _bank(xyz):
+    return build_bank(
+        xyz, descriptor="shot", descr_radius=CFG.descr_rad,
+        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
+        level=0, resolution=64, key_capacity=48,
+    )
+
+
+def test_detect_parts_picks_right_part(rng):
+    # two clearly different parts: thin long tube vs fat short ring
+    chord, _ = cylinder_points(rng, radius=0.05, height=0.6, n=700, axis="x")
+    stub, _ = cylinder_points(rng, radius=0.12, height=0.15, n=700, axis="z")
+    banks = {"chord": _bank(chord), "stub": _bank(stub)}
+
+    views, poses, _ = render_views(stub, level=0, resolution=96)
+    v = int(np.argmax([w.shape[0] for w in views]))
+    scene = make_cloud(views[v][:1024], capacity=CFG.scene_capacity)
+
+    out = detect_parts(scene, banks, CFG)
+    assert set(out.per_part) == {"chord", "stub"}
+    assert out.part == "stub", (
+        f"chose {out.part}: stub fit={float(out.per_part['stub'].fitness)}, "
+        f"chord fit={float(out.per_part['chord'].fitness)}"
+    )
+    assert float(out.result.fitness) < float(out.per_part["chord"].fitness)

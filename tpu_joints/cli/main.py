@@ -151,11 +151,27 @@ def cmd_bank(args) -> None:
           f"hash {bank.params_hash} → {args.out}")
 
 
-def _detect_one(scene_path, bank, cfg, args):
+def _load_banks(args) -> dict:
+    """--bank entries: 'path' or 'name=path' (repeatable, one per part —
+    the reference's {chord, stub} loop, SHOT_demo.cpp:430-461)."""
+    from tpu_joints.modelbank import load_bank
+
+    banks = {}
+    for i, entry in enumerate(args.bank):
+        if "=" in entry:
+            name, path = entry.split("=", 1)
+        else:
+            name, path = (os.path.splitext(os.path.basename(entry))[0]
+                          if len(args.bank) > 1 else "model"), entry
+        banks[name or f"part{i}"] = load_bank(path)
+    return banks
+
+
+def _detect_one(scene_path, banks, cfg, args):
     import jax
 
     from tpu_joints.core.cloud import make_cloud
-    from tpu_joints.pipelines.detect import detect
+    from tpu_joints.pipelines import detect, detect_parts
 
     pts = _load_points(scene_path)
     pts = pts[np.isfinite(pts).all(axis=1)]
@@ -163,14 +179,19 @@ def _detect_one(scene_path, bank, cfg, args):
         idx = np.linspace(0, pts.shape[0] - 1, cfg.scene_capacity).astype(np.int64)
         pts = pts[idx]
     scene = make_cloud(pts, capacity=cfg.scene_capacity)
-    res = detect(scene, bank, cfg)
+    if len(banks) == 1:
+        (part, bank), = banks.items()
+        res = detect(scene, bank, cfg)
+    else:
+        multi = detect_parts(scene, banks, cfg)
+        part, res = multi.part, multi.result
     jax.block_until_ready(res.full_pose)
-    return scene, res
+    return scene, part, res
 
 
-def _print_result(name, res) -> None:
+def _print_result(name, res, part="model") -> None:
     T = np.asarray(res.full_pose)
-    print(f"--- {name}: accepted={bool(res.accepted)} "
+    print(f"--- {name} [{part}]: accepted={bool(res.accepted)} "
           f"fitness={float(res.fitness):.6f} view={int(res.view_idx)} "
           f"corrs={int(res.n_corrs)}")
     # the reference prints R | t blocks per instance (SHOT.cpp:502-516)
@@ -179,23 +200,23 @@ def _print_result(name, res) -> None:
 
 
 def cmd_detect(args) -> None:
-    """SHOT.cpp / SHOT_demo.cpp / 6Dpose.cpp: scene + bank → 6D pose."""
+    """SHOT.cpp / SHOT_demo.cpp / 6Dpose.cpp: scene + bank(s) → 6D pose."""
     _sync_platform()
-    from tpu_joints.modelbank import load_bank
-
     cfg = _config_from_args(args)
-    bank = load_bank(args.bank)
-    scene, res = _detect_one(args.scene, bank, cfg, args)
-    _print_result(os.path.basename(args.scene), res)
+    banks = _load_banks(args)
+    scene, part, res = _detect_one(args.scene, banks, cfg, args)
+    _print_result(os.path.basename(args.scene), res, part)
     if args.json:
         m = {k: float(np.asarray(v)) for k, v in res.metrics.items()}
         print(json.dumps({"pose": np.asarray(res.full_pose).tolist(),
+                          "part": part,
                           "fitness": float(res.fitness),
                           "accepted": bool(res.accepted), "metrics": m}))
     if args.png:
         from tpu_joints.core.transforms import transform_points
         from tpu_joints.viz import plot_detection
 
+        bank = banks[part]
         v = int(res.view_idx)
         aligned = np.asarray(transform_points(bank.view_xyz[v], res.view_pose))
         plot_detection(args.png, np.asarray(scene.xyz), np.asarray(scene.mask),
@@ -209,16 +230,14 @@ def cmd_scenes(args) -> None:
     _sync_platform()
     import dataclasses as dc
 
-    from tpu_joints.modelbank import load_bank
-
     cfg = _config_from_args(args)
     if args.hv:
         cfg = dc.replace(cfg, hv_enabled=True)
-    bank = load_bank(args.bank)
+    banks = _load_banks(args)
     n_good = 0
     for path in args.scene:
-        _, res = _detect_one(path, bank, cfg, args)
-        _print_result(os.path.basename(path), res)
+        _, part, res = _detect_one(path, banks, cfg, args)
+        _print_result(os.path.basename(path), res, part)
         # SHOT_hypothesis prints a GOOD/bad verdict per instance (:653-720)
         verdict = "GOOD" if bool(res.accepted) else "bad"
         n_good += bool(res.accepted)
@@ -362,9 +381,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_reference_flags(p)
     p.set_defaults(fn=cmd_bank)
 
-    p = sub.add_parser("detect", help="scene + bank → 6D pose")
+    p = sub.add_parser("detect", help="scene + bank(s) → 6D pose")
     p.add_argument("scene")
-    p.add_argument("--bank", required=True)
+    p.add_argument("--bank", required=True, action="append",
+                   help="bank .npz; repeatable as name=path for multi-part "
+                        "detection (chord=..., stub=...)")
     p.add_argument("--json", action="store_true")
     p.add_argument("--png", default=None)
     _add_reference_flags(p)
@@ -372,7 +393,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("scenes", help="batch scene evaluation loop")
     p.add_argument("scene", nargs="+")
-    p.add_argument("--bank", required=True)
+    p.add_argument("--bank", required=True, action="append",
+                   help="bank .npz; repeatable as name=path for multi-part")
     p.add_argument("--hv", action="store_true",
                    help="enable global hypothesis verification")
     _add_reference_flags(p)

@@ -11,8 +11,11 @@ from tpu_joints.pipelines.detect import (
     match_bank,
     prepare_scene,
 )
+from tpu_joints.pipelines.multi import MultiPartResult, detect_parts
 
 __all__ = [
+    "MultiPartResult",
+    "detect_parts",
     "DetectionResult",
     "SceneFeatures",
     "ViewClusters",

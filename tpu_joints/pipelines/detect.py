@@ -81,7 +81,9 @@ def prepare_scene(
     """Normals → [region-growing crop] → keypoints → descriptors + LRFs."""
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
-    normals, curvature = estimate_normals(scene, k=cfg.normal_k, viewpoint=viewpoint)
+    with jax.named_scope("normals"):
+        normals, curvature = estimate_normals(scene, k=cfg.normal_k,
+                                              viewpoint=viewpoint)
 
     if cfg.segment_scene:
         from tpu_joints.segment import cluster_curvature_filter, region_growing
@@ -216,8 +218,11 @@ def detect_with_features(
     tree of ``FPFH_scenes_clustered.cpp``, SURVEY.md A29) can reuse the
     whole chain on gathered view subsets without re-extracting features.
     """
-    corrs = match_bank(feats.desc, feats.desc_valid, bank.desc, bank.key_valid, cfg)
-    inst = _group_all_views(feats, bank, corrs, cfg)
+    with jax.named_scope("match_bank"):
+        corrs = match_bank(feats.desc, feats.desc_valid, bank.desc,
+                           bank.key_valid, cfg)
+    with jax.named_scope("grouping"):
+        inst = _group_all_views(feats, bank, corrs, cfg)
 
     V = bank.desc.shape[0]
     P = cfg.max_instances_per_view
@@ -238,7 +243,8 @@ def detect_with_features(
         return icp(src, feats.cloud, T0, iterations=cfg.icp_iterations,
                    max_corr_dist=cfg.icp_max_corr_dist, chunk=1024)
 
-    cand_poses, cand_fitness = jax.vmap(refine)(cand_views, cand_init)
+    with jax.named_scope("icp_refine"):
+        cand_poses, cand_fitness = jax.vmap(refine)(cand_views, cand_init)
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
     if cfg.hv_enabled:
