@@ -167,6 +167,28 @@ def _load_banks(args) -> dict:
     return banks
 
 
+def _apply_resolution(cfg, pts: np.ndarray):
+    """Reference ``-r``: scale all radii by the scene's cloud resolution
+    (mean nearest-neighbor spacing, ``SHOT.cpp:145-175`` + ``:277-287``)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from tpu_joints.neighbors import knn
+
+    sub = pts[:: max(1, pts.shape[0] // 4096)]
+    d, _ = knn(jnp.asarray(sub), jnp.asarray(sub), 1, exclude_self=True)
+    res = float(np.sqrt(np.maximum(np.asarray(d)[:, 0], 0.0)).mean())
+    if res <= 0:
+        return cfg
+    return dc.replace(
+        cfg,
+        model_ss=cfg.model_ss * res, scene_ss=cfg.scene_ss * res,
+        rf_rad=cfg.rf_rad * res, descr_rad=cfg.descr_rad * res,
+        cg_size=cfg.cg_size * res,
+    )
+
+
 def _detect_one(scene_path, banks, cfg, args):
     import jax
 
@@ -175,6 +197,8 @@ def _detect_one(scene_path, banks, cfg, args):
 
     pts = _load_points(scene_path)
     pts = pts[np.isfinite(pts).all(axis=1)]
+    if getattr(args, "use_resolution", False):
+        cfg = _apply_resolution(cfg, pts)
     if pts.shape[0] > cfg.scene_capacity:
         idx = np.linspace(0, pts.shape[0] - 1, cfg.scene_capacity).astype(np.int64)
         pts = pts[idx]

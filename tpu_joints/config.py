@@ -27,6 +27,11 @@ class DetectionConfig:
     # sampling
     model_ss: float = 0.01            # CAD_desc.cpp uniform sampling 0.01
     scene_ss: float = 0.03            # SHOT_demo VoxelGrid 0.03 (:413-417)
+    # keypoint detector: "uniform" (UniformSampling, the reference default)
+    # or "iss" (the commented-out ISSKeypoint3D alternative, SHOT.cpp:329-352)
+    keypoints: str = "uniform"
+    iss_gamma_21: float = 0.975       # SHOT.cpp:338-339
+    iss_gamma_32: float = 0.975
     # normals
     normal_k: int = 40                # SHOT.cpp:302-308 (k=40)
     # matching

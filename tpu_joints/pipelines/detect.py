@@ -100,7 +100,19 @@ def prepare_scene(
         )
         scene = scene.with_mask(keep)
 
-    keep = uniform_sample_mask(scene, cfg.scene_ss)
+    if cfg.keypoints == "iss":
+        from tpu_joints.features.iss import iss_keypoints
+
+        # PCL's commented alternative: salient radius 6·res, non-max 4·res
+        # (SHOT.cpp:334-335) — here parameterized off scene_ss
+        keep = iss_keypoints(
+            scene, salient_radius=3.0 * cfg.scene_ss,
+            non_max_radius=2.0 * cfg.scene_ss,
+            gamma_21=cfg.iss_gamma_21, gamma_32=cfg.iss_gamma_32,
+            k_max=cfg.k_max,
+        )
+    else:
+        keep = uniform_sample_mask(scene, cfg.scene_ss)
     keys, kidx = compact_cloud(scene, keep, cfg.scene_key_capacity)
 
     if cfg.descriptor == "shot":
