@@ -25,14 +25,14 @@ import bench
 
 def timeit(name, fn, *args, n=5, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]  # true sync
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         ts.append((time.perf_counter() - t0) * 1000)
-    print(f"{name:34s} {np.median(ts):10.2f} ms")
+    print(f"{name:34s} {np.median(ts):10.2f} ms", flush=True)
     return out
 
 
@@ -47,7 +47,7 @@ def main():
         match_bank,
         prepare_scene,
     )
-    from tpu_joints.recognize.icp import icp
+    from tpu_joints.recognize.icp import icp, icp_multi
 
     scene, bank, cfg = bench.build_problem()
     print(f"device={jax.devices()[0].device_kind} scene_cap={scene.capacity} "
@@ -87,6 +87,12 @@ def main():
     timeit(f"icp x1 ({cfg.icp_iterations} iters)",
            lambda: icp(src, scene, T0, iterations=cfg.icp_iterations,
                        max_corr_dist=cfg.icp_max_corr_dist, chunk=1024))
+    views4 = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    T4 = jnp.broadcast_to(jnp.eye(4), (4, 4, 4))
+    timeit(f"icp_multi x4 ({cfg.icp_iterations} iters)",
+           lambda: icp_multi(bank.view_xyz[views4], bank.view_mask[views4],
+                             scene, T4, iterations=cfg.icp_iterations,
+                             max_corr_dist=cfg.icp_max_corr_dist, chunk=2048))
 
 
 if __name__ == "__main__":

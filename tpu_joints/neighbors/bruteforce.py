@@ -101,6 +101,15 @@ def knn(
         d = jnp.where(m_c[None, :], d, INF)
         if exclude_self:
             d = jnp.where(col == qrow, INF, d)
+        if k == 1:
+            # argmin merge — no concat/top_k sort network on the hot path
+            blk_d = jnp.min(d, axis=1, keepdims=True)
+            blk_i = jnp.take_along_axis(
+                col, jnp.argmin(d, axis=1)[:, None], axis=1
+            )
+            take = blk_d < best_d
+            return (jnp.where(take, blk_d, best_d),
+                    jnp.where(take, blk_i, best_i)), None
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate([best_i, col], axis=1)
         neg_top, arg = jax.lax.top_k(-cat_d, k)

@@ -37,7 +37,7 @@ from tpu_joints.neighbors import radius_neighbors
 from tpu_joints.recognize.gc import gc_group
 from tpu_joints.recognize.hough import Instances, hough_group
 from tpu_joints.recognize.hv import verify_hypotheses
-from tpu_joints.recognize.icp import fitness_score, icp
+from tpu_joints.recognize.icp import fitness_score, icp, icp_multi
 from tpu_joints.recognize.matching import Correspondences
 from tpu_joints.recognize.obb import OBB, oriented_bounding_box
 
@@ -246,17 +246,16 @@ def detect_with_features(
     cand_init = inst.poses.reshape(V * P, 4, 4)[top_flat]
     cand_ncorrs = inst.n_corrs.reshape(V * P)[top_flat]
 
-    def refine(view, T0):
-        src = Cloud(
-            xyz=bank.view_xyz[view],
-            mask=bank.view_mask[view],
-            rgb=jnp.zeros_like(bank.view_xyz[view]),
-        )
-        return icp(src, feats.cloud, T0, iterations=cfg.icp_iterations,
-                   max_corr_dist=cfg.icp_max_corr_dist, chunk=1024)
-
     with jax.named_scope("icp_refine"):
-        cand_poses, cand_fitness = jax.vmap(refine)(cand_views, cand_init)
+        # all candidates refined in ONE batched ICP: candidate axis folded
+        # into the NN query rows (never vmap the chunked top-k scan — see
+        # recognize.icp.icp_multi's design note)
+        cand_poses, cand_fitness = icp_multi(
+            bank.view_xyz[cand_views], bank.view_mask[cand_views],
+            feats.cloud, cand_init,
+            iterations=cfg.icp_iterations,
+            max_corr_dist=cfg.icp_max_corr_dist, chunk=2048,
+        )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
     if cfg.hv_enabled:

@@ -66,6 +66,56 @@ def icp(
     return T, fit
 
 
+@functools.partial(jax.jit, static_argnames=("iterations", "chunk"))
+def icp_multi(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: Cloud,
+    init_T: jnp.ndarray,
+    iterations: int = 30,
+    max_corr_dist: float = _BIG,
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ICP for C candidate (source, init pose) pairs against one target.
+
+    Args: src_xyz float32[C, N, 3], src_mask bool[C, N], init_T [C, 4, 4].
+    Returns (T [C, 4, 4], fitness [C]).
+
+    TPU-critical design note: the candidate axis is folded into the NN
+    query's *row* axis ([C·N, 3] in one :func:`knn` call per iteration)
+    instead of ``vmap``-ing the per-candidate ICP. Vmapping the chunked
+    top-k scan makes XLA lower it ~90× slower (measured on v5e: 11.2 s vs
+    127 ms for the same NN work); batching rows keeps the scan unbatched
+    and simply makes the MXU matmuls larger — exactly what the hardware
+    wants. Only the tiny per-candidate Umeyama solves are vmapped.
+    """
+    C, N, _ = src_xyz.shape
+    max_sq = jnp.float32(max_corr_dist) * jnp.float32(max_corr_dist)
+
+    def nn(moved_flat):
+        d, i = knn(moved_flat, target.xyz, 1, source_mask=target.mask, chunk=chunk)
+        return d[:, 0].reshape(C, N), i[:, 0].reshape(C, N)
+
+    def step(Ts, _):
+        moved = jnp.einsum("cij,cnj->cni", Ts[:, :3, :3], src_xyz,
+                           precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
+        dist_sq, nn_idx = nn(moved.reshape(C * N, 3))
+        w = (src_mask & (dist_sq <= max_sq) & (dist_sq < _BIG)).astype(jnp.float32)
+        deltas = jax.vmap(umeyama)(moved, target.xyz[nn_idx], w)
+        return jnp.einsum("cij,cjk->cik", deltas, Ts,
+                          precision=jax.lax.Precision.HIGHEST), None
+
+    Ts, _ = jax.lax.scan(step, init_T.astype(jnp.float32), None, length=iterations)
+
+    moved = jnp.einsum("cij,cnj->cni", Ts[:, :3, :3], src_xyz,
+                       precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
+    dist_sq, _ = nn(moved.reshape(C * N, 3))
+    ok = src_mask & (dist_sq < _BIG)
+    w = ok.astype(jnp.float32)
+    fit = jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    return Ts, fit
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def fitness_score(
     source: Cloud,
