@@ -60,6 +60,8 @@ def shard_inputs(scenes: Cloud, bank: ModelBank, mesh) -> tuple:
         desc=jax.device_put(bank.desc, b),
         rf=jax.device_put(bank.rf, b),
         poses=jax.device_put(bank.poses, r),
+        icp_xyz=jax.device_put(bank.icp_xyz, b),
+        icp_mask=jax.device_put(bank.icp_mask, b),
         model_xyz=jax.device_put(bank.model_xyz, r),
         model_mask=jax.device_put(bank.model_mask, r),
         params_hash=bank.params_hash,

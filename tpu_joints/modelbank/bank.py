@@ -35,7 +35,7 @@ from tpu_joints.neighbors import radius_neighbors
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["view_xyz", "view_mask", "key_xyz", "key_valid", "desc", "rf",
-                 "poses", "model_xyz", "model_mask"],
+                 "poses", "model_xyz", "model_mask", "icp_xyz", "icp_mask"],
     meta_fields=["params_hash"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +62,8 @@ class ModelBank:
     poses: jnp.ndarray      # [V, 4, 4] model→camera ground truth (pose.txt)
     model_xyz: jnp.ndarray  # [Nm, 3] full CAD cloud (model frame)
     model_mask: jnp.ndarray # [Nm]
+    icp_xyz: jnp.ndarray    # [V, Ni, 3] subsampled views for ICP refinement
+    icp_mask: jnp.ndarray   # [V, Ni]
     params_hash: str = ""
 
     def model_cloud(self) -> Cloud:
@@ -98,6 +100,8 @@ def gather_views(bank: ModelBank, idx: jnp.ndarray) -> ModelBank:
         poses=bank.poses[idx],
         model_xyz=bank.model_xyz,
         model_mask=bank.model_mask,
+        icp_xyz=bank.icp_xyz[idx],
+        icp_mask=bank.icp_mask[idx],
         params_hash=bank.params_hash,
     )
 
@@ -117,6 +121,7 @@ def build_bank(
     resolution: int = 100,
     view_capacity: Optional[int] = None,
     key_capacity: int = 256,
+    icp_capacity: int = 4096,
     views: Optional[List[np.ndarray]] = None,
     poses: Optional[np.ndarray] = None,
 ) -> ModelBank:
@@ -174,9 +179,12 @@ def build_bank(
         sel = np.linspace(0, model_xyz.shape[0] - 1, view_capacity).astype(np.int64)
         model_xyz = model_xyz[sel]
     model = make_cloud(model_xyz, capacity=view_capacity)
+    view_xyz = jnp.stack(all_view_xyz)
+    view_mask = jnp.stack(all_view_mask)
+    icp_xyz, icp_mask = _subsample_views(view_xyz, view_mask, icp_capacity)
     return ModelBank(
-        view_xyz=jnp.stack(all_view_xyz),
-        view_mask=jnp.stack(all_view_mask),
+        view_xyz=view_xyz,
+        view_mask=view_mask,
         key_xyz=jnp.stack(all_keys),
         key_valid=jnp.stack(all_valid),
         desc=jnp.stack(all_desc),
@@ -184,8 +192,35 @@ def build_bank(
         poses=jnp.asarray(poses),
         model_xyz=model.xyz,
         model_mask=model.mask,
+        icp_xyz=icp_xyz,
+        icp_mask=icp_mask,
         params_hash=_params_hash(params),
     )
+
+
+def _subsample_views(
+    view_xyz: jnp.ndarray, view_mask: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Even-stride subsample of each view for the ICP refinement stage.
+
+    ICP converges with a few thousand source points (the reference
+    VoxelGrid-downsamples its models before ICP, ``SHOT_demo.cpp:489-502``);
+    keeping the refinement source small is a 4-8× NN saving per iteration.
+    """
+    V, Nv, _ = view_xyz.shape
+    cap = min(capacity, Nv)
+    out_xyz = np.full((V, cap, 3), 1.0e6, np.float32)
+    out_mask = np.zeros((V, cap), bool)
+    xyz_h = np.asarray(view_xyz)
+    mask_h = np.asarray(view_mask)
+    for v in range(V):
+        valid = np.flatnonzero(mask_h[v])
+        take = min(cap, valid.size)
+        if take:
+            sel = valid[np.linspace(0, valid.size - 1, take).astype(np.int64)]
+            out_xyz[v, :take] = xyz_h[v, sel]
+            out_mask[v, :take] = True
+    return jnp.asarray(out_xyz), jnp.asarray(out_mask)
 
 
 def save_bank(path: str, bank: ModelBank) -> None:
@@ -200,6 +235,8 @@ def save_bank(path: str, bank: ModelBank) -> None:
         poses=np.asarray(bank.poses),
         model_xyz=np.asarray(bank.model_xyz),
         model_mask=np.asarray(bank.model_mask),
+        icp_xyz=np.asarray(bank.icp_xyz),
+        icp_mask=np.asarray(bank.icp_mask),
         params_hash=np.asarray(bank.params_hash),
     )
 
@@ -213,6 +250,13 @@ def load_bank(path: str) -> ModelBank:
         nv = z["view_xyz"].shape[1]
         model_xyz = jnp.full((nv, 3), 1.0e6, jnp.float32)
         model_mask = jnp.zeros((nv,), bool)
+    if "icp_xyz" in z.files:
+        icp_xyz = jnp.asarray(z["icp_xyz"])
+        icp_mask = jnp.asarray(z["icp_mask"])
+    else:  # regenerate from the stored views
+        icp_xyz, icp_mask = _subsample_views(
+            jnp.asarray(z["view_xyz"]), jnp.asarray(z["view_mask"]), 4096
+        )
     return ModelBank(
         view_xyz=jnp.asarray(z["view_xyz"]),
         view_mask=jnp.asarray(z["view_mask"]),
@@ -223,5 +267,7 @@ def load_bank(path: str) -> ModelBank:
         poses=jnp.asarray(z["poses"]),
         model_xyz=model_xyz,
         model_mask=model_mask,
+        icp_xyz=icp_xyz,
+        icp_mask=icp_mask,
         params_hash=str(z["params_hash"]),
     )

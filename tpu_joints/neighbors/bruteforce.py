@@ -68,6 +68,11 @@ def knn(
     Returns:
       (dist_sq float32[M, k], idx int32[M, k]); lanes with no valid
       neighbor have dist_sq == INF (callers mask on that).
+
+    On TPU the per-block k-selection uses the hardware-accelerated
+    ``approx_min_k`` (PartialReduce, default recall ≈ 0.95 within a block;
+    k=1 and CPU backends are exact) — the standard accuracy/speed point for
+    on-device NN search; the cross-block merge is exact.
     """
     M, D = query.shape
     N = source.shape[0]
@@ -102,16 +107,21 @@ def knn(
         if exclude_self:
             d = jnp.where(col == qrow, INF, d)
         if k == 1:
-            # argmin merge — no concat/top_k sort network on the hot path
-            blk_d = jnp.min(d, axis=1, keepdims=True)
-            blk_i = jnp.take_along_axis(
-                col, jnp.argmin(d, axis=1)[:, None], axis=1
-            )
+            # single-pass argmin merge — no concat/top_k sort network and no
+            # second min pass on the hot path
+            am = jnp.argmin(d, axis=1)[:, None]
+            blk_d = jnp.take_along_axis(d, am, axis=1)
+            blk_i = jnp.take_along_axis(col, am, axis=1)
             take = blk_d < best_d
             return (jnp.where(take, blk_d, best_d),
                     jnp.where(take, blk_i, best_i)), None
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, col], axis=1)
+        # per-block top-k (hardware PartialReduce on TPU via approx_min_k —
+        # exact top-k on CPU backends), then an exact 2k-way carry merge:
+        # O(C) per row instead of the O(C·k) full-width top_k merge
+        blk_d, blk_arg = jax.lax.approx_min_k(d, k)
+        blk_i = jnp.take_along_axis(col, blk_arg, axis=1)
+        cat_d = jnp.concatenate([best_d, blk_d], axis=1)
+        cat_i = jnp.concatenate([best_i, blk_i], axis=1)
         neg_top, arg = jax.lax.top_k(-cat_d, k)
         new_i = jnp.take_along_axis(cat_i, arg, axis=1)
         return (-neg_top, new_i), None

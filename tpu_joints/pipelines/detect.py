@@ -251,7 +251,7 @@ def detect_with_features(
         # into the NN query rows (never vmap the chunked top-k scan — see
         # recognize.icp.icp_multi's design note)
         cand_poses, cand_fitness = icp_multi(
-            bank.view_xyz[cand_views], bank.view_mask[cand_views],
+            bank.icp_xyz[cand_views], bank.icp_mask[cand_views],
             feats.cloud, cand_init,
             iterations=cfg.icp_iterations,
             max_corr_dist=cfg.icp_max_corr_dist, chunk=2048,
