@@ -76,6 +76,13 @@ def knn(
     """
     M, D = query.shape
     N = source.shape[0]
+    if D == 3 and k <= 32 and not exclude_self:
+        from tpu_joints.neighbors.pallas_knn import knn_pallas, pallas_available
+
+        if pallas_available():
+            # fused Pallas kernel: distance + streaming top-k in VMEM
+            return knn_pallas(query, source, k, source_mask=source_mask,
+                              tn=max(chunk, 512))
     if source_mask is None:
         source_mask = jnp.ones((N,), bool)
 
@@ -102,16 +109,17 @@ def knn(
             query, s_c.T, precision=jax.lax.Precision.HIGHEST
         )
         d = jnp.maximum(d, 0.0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (M, chunk), 1) + c_idx * chunk
         d = jnp.where(m_c[None, :], d, INF)
         if exclude_self:
+            # global column == query row (only the resolution path uses this)
+            col = jax.lax.broadcasted_iota(jnp.int32, (M, chunk), 1) + c_idx * chunk
             d = jnp.where(col == qrow, INF, d)
+        # global indices derive from block-local argmins + the chunk offset —
+        # never materialize an [M, chunk] index matrix on the hot path
         if k == 1:
-            # single-pass argmin merge — no concat/top_k sort network and no
-            # second min pass on the hot path
             am = jnp.argmin(d, axis=1)[:, None]
             blk_d = jnp.take_along_axis(d, am, axis=1)
-            blk_i = jnp.take_along_axis(col, am, axis=1)
+            blk_i = am.astype(jnp.int32) + c_idx * chunk
             take = blk_d < best_d
             return (jnp.where(take, blk_d, best_d),
                     jnp.where(take, blk_i, best_i)), None
@@ -119,7 +127,7 @@ def knn(
         # exact top-k on CPU backends), then an exact 2k-way carry merge:
         # O(C) per row instead of the O(C·k) full-width top_k merge
         blk_d, blk_arg = jax.lax.approx_min_k(d, k)
-        blk_i = jnp.take_along_axis(col, blk_arg, axis=1)
+        blk_i = blk_arg.astype(jnp.int32) + c_idx * chunk
         cat_d = jnp.concatenate([best_d, blk_d], axis=1)
         cat_i = jnp.concatenate([best_i, blk_i], axis=1)
         neg_top, arg = jax.lax.top_k(-cat_d, k)
