@@ -30,7 +30,7 @@ from tpu_joints.config import DetectionConfig
 from tpu_joints.core.cloud import Cloud
 from tpu_joints.distributed.mesh import bank_sharding, replicated, scene_sharding
 from tpu_joints.modelbank.bank import ModelBank
-from tpu_joints.pipelines.detect import DetectionResult, detect
+from tpu_joints.pipelines.detect import DetectionResult, detect_fused
 
 
 def stack_clouds(clouds: List[Cloud]) -> Cloud:
@@ -82,4 +82,4 @@ def detect_batch(
     un-sharded and it is simply the multi-scene analog of the reference's
     serial scene loop.
     """
-    return jax.vmap(lambda s: detect(s, bank, cfg))(scenes)
+    return jax.vmap(lambda s: detect_fused(s, bank, cfg))(scenes)

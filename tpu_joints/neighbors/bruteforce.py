@@ -76,7 +76,16 @@ def knn(
     """
     M, D = query.shape
     N = source.shape[0]
-    if D == 3 and k <= 32 and not exclude_self:
+    import os
+
+    # Default: Pallas only for k=1 (the ICP hot path). The k>1 kernel is
+    # correct and ~2.5x faster than the XLA path in isolation, but the
+    # current TPU runtime intermittently faults re-executing it inside the
+    # full-pipeline executable (INVALID_ARGUMENT on the 2nd run; every
+    # smaller combination reproduces fine) — opt in with
+    # TPU_JOINTS_PALLAS_MAXK=32 once the runtime issue is resolved.
+    _maxk = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "1"))
+    if D == 3 and k <= _maxk and not exclude_self:
         from tpu_joints.neighbors.pallas_knn import knn_pallas, pallas_available
 
         if pallas_available():

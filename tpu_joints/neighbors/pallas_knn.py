@@ -44,17 +44,17 @@ def _knn_kernel(qt_ref, st_ref, s2_ref, outd_ref, outi_ref, bd, bi, *,
         bd[:] = jnp.full((tm, k), _INF, jnp.float32)
         bi[:] = jnp.zeros((tm, k), jnp.int32)
 
-    q = qt_ref[:]  # [8, TM] (rows 0..2 = xyz, rest zero)
-    s = st_ref[:]  # [8, TN]
-    q2 = jnp.sum(q * q, axis=0)           # [TM]
-    s2m = s2_ref[:]                        # [1, TN]; +INF on masked lanes
-    qs = jax.lax.dot_general(
-        q, s, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # exact f32: mm²-level distances
-    )  # [TM, TN]
-    d = q2[:, None] + s2m - 2.0 * qs
-    d = jnp.maximum(d, 0.0)
+    q = qt_ref[:]  # [TM, 8] (cols 0..2 = xyz, rest zero) — column slices of
+    #                 the query tile broadcast along lanes with NO transpose
+    s = st_ref[:]  # [8, TN] — row slices broadcast along sublanes likewise
+    pen = s2_ref[:]  # [1, TN]; 0 on valid lanes, +INF on masked/padded ones
+    # Direct VPU difference form — exact f32 and ~9 ops/element. The matmul
+    # expansion is a trap here: K=3 pads to the MXU's 128-wide contraction
+    # (≈6% utilization) and needs 6-pass f32, measured ~15× slower.
+    dx = q[:, 0:1] - s[0:1, :]
+    dy = q[:, 1:2] - s[1:2, :]
+    dz = q[:, 2:3] - s[2:3, :]
+    d = dx * dx + dy * dy + dz * dz + pen
     base = j * tn
 
     if k == 1:
@@ -109,10 +109,10 @@ def knn_pallas(
         source_mask = jnp.ones((N,), bool)
 
     Mp, Np = _round_up(M, tm), _round_up(N, tn)
-    qt = jnp.zeros((8, Mp), jnp.float32).at[:3, :M].set(query.T)
+    qt = jnp.zeros((Mp, 8), jnp.float32).at[:M, :3].set(query)
     st = jnp.zeros((8, Np), jnp.float32).at[:3, :N].set(source.T)
-    s2 = jnp.sum(source * source, axis=1)
-    s2 = jnp.where(source_mask, s2, INF)
+    # additive penalty row: 0 for valid source lanes, +INF for masked/padded
+    s2 = jnp.where(source_mask, 0.0, INF)
     s2 = jnp.full((1, Np), INF, jnp.float32).at[0, :N].set(s2)
 
     n_i, n_j = Mp // tm, Np // tn
@@ -121,7 +121,7 @@ def knn_pallas(
         kernel,
         grid=(n_i, n_j),
         in_specs=[
-            pl.BlockSpec((8, tm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -142,6 +142,10 @@ def knn_pallas(
             bytes_accessed=(8 * Mp + 9 * Np + 2 * Mp * k) * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # query tiles are independent; only the source sweep carries state
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qt, st, s2)
     # clamp indices of all-masked rows into range (dist stays INF)
@@ -151,6 +155,10 @@ def knn_pallas(
 
 def pallas_available() -> bool:
     """True when the current default backend can run the compiled kernel."""
+    import os
+
+    if os.environ.get("TPU_JOINTS_DISABLE_PALLAS") == "1":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

@@ -207,14 +207,38 @@ def _group_all_views(
     return jax.vmap(per_view)(bank.key_xyz, bank.rf, bank.key_valid, corrs)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+_prepare_jit = functools.partial(jax.jit, static_argnames=("cfg",))(prepare_scene)
+_detect_features_jit = None  # set below, after detect_with_features is defined
+
+
 def detect(
     scene: Cloud,
     bank: ModelBank,
     cfg: DetectionConfig = DetectionConfig(),
     viewpoint: Optional[jnp.ndarray] = None,
 ) -> DetectionResult:
-    """One scene → best 6D pose (plus all candidates)."""
+    """One scene → best 6D pose (plus all candidates).
+
+    Runs as two jitted stages — feature extraction, then match/refine.
+    Two dispatches cost microseconds; keeping the stages as separate
+    executables also sidesteps a TPU-runtime re-execution fault observed
+    when the k>1 and k=1 fused-kNN Pallas kernels share one executable
+    (each combination runs repeatedly without issue on its own). Use
+    :func:`detect_fused` when the whole pipeline must be one traceable
+    function (e.g. under ``vmap`` in ``distributed.detect_batch``).
+    """
+    feats = _prepare_jit(scene, cfg, viewpoint)
+    return _detect_features_jit(feats, bank, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_fused(
+    scene: Cloud,
+    bank: ModelBank,
+    cfg: DetectionConfig = DetectionConfig(),
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> DetectionResult:
+    """Single-executable variant of :func:`detect` (for vmap/pjit contexts)."""
     feats = prepare_scene(scene, cfg, viewpoint)
     return detect_with_features(feats, bank, cfg)
 
@@ -339,3 +363,8 @@ def detect_with_features(
         obb=box,
         metrics=metrics,
     )
+
+
+_detect_features_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)(detect_with_features)
