@@ -41,6 +41,41 @@ def cylinder_points(rng, radius=0.05, height=0.4, n=500, axis="z", jitter=0.0):
     return pts.astype(np.float32), nrm.astype(np.float32)
 
 
+def knobby_joint_points(rng, n_chord=700, n_stub=400, n_knob=150, jitter=0.0):
+    """Joint with distinctive corner features (orthogonal plate pairs) — for
+    descriptors (FPFH) that can't disambiguate positions along smooth
+    cylinder bodies, and for LRFs that are degenerate on spheres/cylinders.
+    Corners give both distinctive histograms and stable reference frames."""
+    xyz, nrm = joint_points(rng, n_chord=n_chord, n_stub=n_stub, jitter=jitter)
+    feats_xyz, feats_n = [], []
+    specs = [  # (center, yaw about z) — distinct placements
+        (np.array([-0.24, 0.0, 0.10]), 0.3),
+        (np.array([0.24, 0.06, -0.06]), 1.4),
+        (np.array([0.02, -0.10, -0.02]), 2.5),
+        (np.array([0.10, 0.04, 0.30]), 4.0),
+    ]
+    n_half = max(n_knob // 2, 10)
+    for c, yaw in specs:
+        R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                      [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]], np.float32)
+        # two orthogonal plates meeting at an edge (an L-bracket corner)
+        u = rng.uniform(0, 0.09, n_half)
+        v = rng.uniform(-0.04, 0.04, n_half)
+        p1 = np.stack([u, v, np.zeros(n_half)], 1)           # z=0 plate
+        n1 = np.tile([0.0, 0.0, 1.0], (n_half, 1))
+        u2 = rng.uniform(0, 0.09, n_half)
+        v2 = rng.uniform(-0.04, 0.04, n_half)
+        p2 = np.stack([np.zeros(n_half), v2, u2], 1)          # x=0 plate
+        n2 = np.tile([1.0, 0.0, 0.0], (n_half, 1))
+        pts = np.concatenate([p1, p2]) @ R.T + c
+        ns = np.concatenate([n1, n2]) @ R.T
+        feats_xyz.append(pts)
+        feats_n.append(ns)
+    xyz = np.concatenate([xyz] + feats_xyz).astype(np.float32)
+    nrm = np.concatenate([nrm] + feats_n).astype(np.float32)
+    return xyz, nrm
+
+
 def joint_points(rng, n_chord=700, n_stub=400, jitter=0.0):
     """A Y-ish joint: horizontal chord cylinder + inclined stub cylinder.
 

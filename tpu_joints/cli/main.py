@@ -139,6 +139,7 @@ def cmd_bank(args) -> None:
         xyz,
         descriptor=cfg.descriptor,
         descr_radius=cfg.descr_rad,
+        rf_radius=cfg.rf_rad if cfg.descriptor == "fpfh" else None,
         sampling_radius=cfg.model_ss,
         normal_k=cfg.normal_k,
         k_max=cfg.k_max,

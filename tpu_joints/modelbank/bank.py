@@ -114,6 +114,7 @@ def build_bank(
     model_xyz: np.ndarray,
     descriptor: str = "shot",
     descr_radius: float = 0.02,
+    rf_radius: Optional[float] = None,
     sampling_radius: float = 0.01,
     normal_k: int = 40,
     k_max: int = 128,
@@ -132,6 +133,8 @@ def build_bank(
     ``:339-352``). Pass ``views``/``poses`` to skip rendering (e.g. when
     the partial views come from disk like ``stub_poses/<l>.pcd``).
     """
+    if rf_radius is None:
+        rf_radius = descr_radius  # frames MUST match the scene side's rf_rad
     if views is None or poses is None:
         views, poses, _ = render_views(model_xyz, level=level, resolution=resolution)
     if view_capacity is None:
@@ -152,11 +155,13 @@ def build_bank(
             # FPFH carries no frame of its own; Hough voting still needs
             # repeatable LRFs (the reference pairs FPFH with BOARD frames,
             # FPFH_demo.cpp:548-585 — here the SHOT LRF plays that role).
+            # The radius must equal the scene side's ``rf_rad`` or votes
+            # from bank and scene frames land in different accumulator bins.
             nidx, nwithin, _ = radius_neighbors(
-                keys.xyz, cloud.xyz, descr_radius, k_max, source_mask=cloud.mask
+                keys.xyz, cloud.xyz, rf_radius, k_max, source_mask=cloud.mask
             )
             rf, rf_ok = shot_lrf(keys.xyz, cloud.xyz[nidx],
-                                 nwithin & keys.mask[:, None], descr_radius)
+                                 nwithin & keys.mask[:, None], rf_radius)
             valid = valid & rf_ok
         else:
             raise ValueError(f"unknown descriptor {descriptor!r}")
@@ -168,7 +173,7 @@ def build_bank(
         all_rf.append(rf)
 
     params = dict(
-        descriptor=descriptor, descr_radius=descr_radius,
+        descriptor=descriptor, descr_radius=descr_radius, rf_radius=rf_radius,
         sampling_radius=sampling_radius, normal_k=normal_k, k_max=k_max,
         level=level, resolution=resolution, n_views=len(views),
     )
