@@ -34,6 +34,10 @@ class DetectionConfig:
     iss_gamma_32: float = 0.975
     # normals
     normal_k: int = 40                # SHOT.cpp:302-308 (k=40)
+    # 0 = exact all-points kNN normals; >0 = anchor-subsampled normals with
+    # nearest-anchor propagation (big-cloud fast path; see
+    # features.normals.estimate_normals_anchored)
+    normal_anchors: int = 0
     # matching
     match_mode: str = "nn"            # "nn" (abs gate) | "ratio"
     match_threshold: float = 0.25     # squared desc distance, SHOT.cpp:418

@@ -28,9 +28,13 @@ def _normals_from_neighborhoods(
     nvalid: jnp.ndarray,
     mask: jnp.ndarray,
     viewpoint: jnp.ndarray,
+    query_xyz: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Core: [N, K] padded neighbor indices → (normals [N,3], curvature [N])."""
-    nbr = xyz[idx]  # [N, K, 3]
+    """Core: [M, K] padded neighbor indices into ``xyz`` → (normals [M,3],
+    curvature [M]); ``query_xyz`` defaults to ``xyz`` (self-neighborhoods)."""
+    if query_xyz is None:
+        query_xyz = xyz
+    nbr = xyz[idx]  # [M, K, 3]
     w = nvalid.astype(xyz.dtype)  # [N, K]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # [N]
     mean = jnp.sum(nbr * w[..., None], axis=1) / cnt[:, None]
@@ -39,7 +43,7 @@ def _normals_from_neighborhoods(
                  precision=jax.lax.Precision.HIGHEST) / cnt[:, None, None]
     normal, vals = smallest_eigenvector(cov)
     # Orient toward viewpoint (PCL flipNormalTowardsViewpoint).
-    to_vp = viewpoint[None, :] - xyz
+    to_vp = viewpoint[None, :] - query_xyz
     flip = jnp.sum(normal * to_vp, axis=-1) < 0.0
     normal = jnp.where(flip[:, None], -normal, normal)
     total = jnp.maximum(vals[..., 0] + vals[..., 1] + vals[..., 2], 1e-12)
@@ -65,6 +69,44 @@ def estimate_normals(
     d, idx = knn(cloud.xyz, cloud.xyz, k, source_mask=cloud.mask)
     nvalid = (d < 1e30) & cloud.mask[:, None]
     return _normals_from_neighborhoods(cloud.xyz, idx, nvalid, cloud.mask, viewpoint)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "anchors"))
+def estimate_normals_anchored(
+    cloud: Cloud,
+    k: int = 16,
+    anchors: int = 8192,
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normals via an anchor subsample + nearest-anchor propagation.
+
+    For big clouds the all-pairs kNN is the pipeline's dominant cost and its
+    output is smooth over the surface; computing exact kNN normals at an
+    ``anchors``-point stride subsample and propagating each point's normal
+    from its nearest anchor (one cheap k=1 NN — the Pallas fast path) cuts
+    the NN work ~N/anchors× at sub-voxel-scale smoothing, which the
+    curvature/descriptor consumers tolerate (they already smooth over k-NN
+    supports). Exact behavior is recovered with ``anchors >= capacity``.
+    """
+    if viewpoint is None:
+        viewpoint = jnp.zeros(3, jnp.float32)
+    N = cloud.capacity
+    if anchors >= N:
+        return estimate_normals(cloud, k=k, viewpoint=viewpoint)
+    a_idx = jnp.linspace(0, N - 1, anchors).astype(jnp.int32)
+    a_xyz = cloud.xyz[a_idx]
+    a_mask = cloud.mask[a_idx]
+    d, idx = knn(a_xyz, cloud.xyz, k, source_mask=cloud.mask)
+    nvalid = (d < 1e30) & a_mask[:, None]
+    a_normals, a_curv = _normals_from_neighborhoods(
+        cloud.xyz, idx, nvalid, a_mask, viewpoint, query_xyz=a_xyz
+    )
+    d1, nn1 = knn(cloud.xyz, a_xyz, 1, source_mask=a_mask)
+    nearest = nn1[:, 0]
+    ok = cloud.mask & (d1[:, 0] < 1e30)
+    normals = jnp.where(ok[:, None], a_normals[nearest], 0.0)
+    curv = jnp.where(ok, a_curv[nearest], 0.0)
+    return normals, curv
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "k_max"))

@@ -29,8 +29,8 @@ from tpu_joints.core.cloud import Cloud
 from tpu_joints.modelbank.bank import ModelBank, gather_views
 from tpu_joints.pipelines.detect import (
     DetectionResult,
-    _prepare_jit,
     detect_with_features,
+    prepare_scene,
 )
 
 
@@ -105,12 +105,12 @@ def detect_tree(
     full bank's numbering. For V views in K clusters this matches
     ~K + n_refine·V/K views instead of V.
     """
-    feats = _prepare_jit(scene, cfg, viewpoint)
-    return _tree_body(feats, bank, clusters, cfg, n_refine)
+    return _tree_fused(scene, bank, clusters, cfg, viewpoint, n_refine)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_refine"))
-def _tree_body(feats, bank, clusters, cfg, n_refine) -> DetectionResult:
+def _tree_fused(scene, bank, clusters, cfg, viewpoint, n_refine) -> DetectionResult:
+    feats = prepare_scene(scene, cfg, viewpoint)
     K = clusters.representatives.shape[0]
     n_refine = min(n_refine, K)
 

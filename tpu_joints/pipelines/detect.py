@@ -82,8 +82,15 @@ def prepare_scene(
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
     with jax.named_scope("normals"):
-        normals, curvature = estimate_normals(scene, k=cfg.normal_k,
-                                              viewpoint=viewpoint)
+        if cfg.normal_anchors > 0:
+            from tpu_joints.features.normals import estimate_normals_anchored
+
+            normals, curvature = estimate_normals_anchored(
+                scene, k=cfg.normal_k, anchors=cfg.normal_anchors,
+                viewpoint=viewpoint)
+        else:
+            normals, curvature = estimate_normals(scene, k=cfg.normal_k,
+                                                  viewpoint=viewpoint)
 
     if cfg.segment_scene:
         from tpu_joints.segment import cluster_curvature_filter, region_growing
@@ -219,13 +226,14 @@ def detect(
 ) -> DetectionResult:
     """One scene → best 6D pose (plus all candidates).
 
-    Runs as two jitted stages — feature extraction, then match/refine.
-    Two dispatches cost microseconds; keeping the stages as separate
-    executables also sidesteps a TPU-runtime re-execution fault observed
-    when the k>1 and k=1 fused-kNN Pallas kernels share one executable
-    (each combination runs repeatedly without issue on its own). Use
-    :func:`detect_fused` when the whole pipeline must be one traceable
-    function (e.g. under ``vmap`` in ``distributed.detect_batch``).
+    Two jitted stages: feature extraction (pure XLA), then match/refine
+    (contains the Pallas k=1 ICP kernel). Besides measuring faster than the
+    fused megajit (196 vs 261 ms at bench scale), this keeps exactly one
+    Mosaic-kernel executable in the process — the current TPU runtime
+    intermittently faults re-executing a Mosaic program after a *different*
+    Mosaic program has run (A,B,A sequences). Set
+    TPU_JOINTS_DISABLE_PALLAS=1 when interleaving many custom-kernel
+    pipelines in one process.
     """
     feats = _prepare_jit(scene, cfg, viewpoint)
     return _detect_features_jit(feats, bank, cfg)

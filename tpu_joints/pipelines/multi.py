@@ -18,11 +18,7 @@ import numpy as np
 from tpu_joints.config import DetectionConfig
 from tpu_joints.core.cloud import Cloud
 from tpu_joints.modelbank.bank import ModelBank
-from tpu_joints.pipelines.detect import (
-    DetectionResult,
-    detect_with_features,
-    prepare_scene,
-)
+from tpu_joints.pipelines.detect import DetectionResult
 
 
 class MultiPartResult(NamedTuple):
@@ -31,14 +27,10 @@ class MultiPartResult(NamedTuple):
     per_part: Dict[str, DetectionResult]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _features(scene: Cloud, cfg: DetectionConfig):
-    return prepare_scene(scene, cfg)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _detect_part(feats, bank: ModelBank, cfg: DetectionConfig) -> DetectionResult:
-    return detect_with_features(feats, bank, cfg)
+# One fused executable shared by every part (identical shapes ⇒ identical
+# program): keeps all Pallas kernels in a single program per process, which
+# the current TPU runtime requires for reliable re-execution. The scene
+# features are recomputed per part — the price of that constraint.
 
 
 def detect_parts(
@@ -55,8 +47,9 @@ def detect_parts(
     """
     if not banks:
         raise ValueError("no part banks given")
-    feats = _features(scene, cfg)
-    per_part = {name: _detect_part(feats, bank, cfg) for name, bank in banks.items()}
+    from tpu_joints.pipelines.detect import detect_fused
+
+    per_part = {name: detect_fused(scene, bank, cfg) for name, bank in banks.items()}
 
     def score(res: DetectionResult) -> float:
         f = float(res.full_fitness)
