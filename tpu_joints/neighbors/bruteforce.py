@@ -51,7 +51,7 @@ def knn(
     k: int,
     source_mask: Optional[jnp.ndarray] = None,
     exclude_self: bool = False,
-    chunk: int = 2048,
+    chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest source points for each query point.
 
@@ -63,7 +63,7 @@ def knn(
       exclude_self: if True, ``query`` is assumed to be a prefix-aligned view
         of ``source`` and source index ``j == i`` is excluded for query ``i``
         (PCL's "nearest other point", used by cloud resolution).
-      chunk: source tile size (static).
+      chunk: source tile size (static); None = auto (8192 for big sources).
 
     Returns:
       (dist_sq float32[M, k], idx int32[M, k]); lanes with no valid
@@ -76,6 +76,12 @@ def knn(
     """
     M, D = query.shape
     N = source.shape[0]
+    if chunk is None:
+        # few big blocks beat many small ones: each block pays a top-k
+        # select/merge round (measured 199→116 ms/scene moving 2048→8192).
+        # Large k keeps small blocks: approx_min_k's per-block recall loss
+        # grows with block width and visibly degrades SHOT supports at k=64.
+        chunk = 8192 if (N >= 8192 and k <= 16) else 2048
     import os
 
     # Default: Pallas only for k=1 (the ICP hot path). The k>1 kernel is
@@ -157,7 +163,7 @@ def radius_neighbors(
     k_max: int,
     source_mask: Optional[jnp.ndarray] = None,
     exclude_self: bool = False,
-    chunk: int = 2048,
+    chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-radius search, padded to ``k_max`` per query.
 
