@@ -204,7 +204,13 @@ def _detect_one(scene_path, banks, cfg, args):
         idx = np.linspace(0, pts.shape[0] - 1, cfg.scene_capacity).astype(np.int64)
         pts = pts[idx]
     scene = make_cloud(pts, capacity=cfg.scene_capacity)
-    if len(banks) == 1:
+    if getattr(args, "tree", 0) and len(banks) == 1:
+        from tpu_joints.pipelines import detect_tree, make_view_clusters
+
+        (part, bank), = banks.items()
+        clusters = make_view_clusters(bank, n_clusters=args.tree)
+        res = detect_tree(scene, bank, clusters, cfg)
+    elif len(banks) == 1:
         (part, bank), = banks.items()
         res = detect(scene, bank, cfg)
     else:
@@ -411,6 +417,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bank", required=True, action="append",
                    help="bank .npz; repeatable as name=path for multi-part "
                         "detection (chord=..., stub=...)")
+    p.add_argument("--tree", type=int, default=0, metavar="K",
+                   help="coarse-to-fine cluster-tree search with K view "
+                        "clusters (FPFH_scenes_clustered's two-layer policy)")
     p.add_argument("--json", action="store_true")
     p.add_argument("--png", default=None)
     _add_reference_flags(p)
