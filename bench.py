@@ -45,11 +45,7 @@ def build_problem():
         model_ss=0.02,
         scene_ss=0.02,
         normal_k=16,
-        # anchored normals (normal_anchors=8192) would save ~60ms, but adds a
-        # second distinct Pallas kernel to the executable, which the current
-        # TPU runtime faults on when re-executed alongside the ICP kernel —
-        # keep the stable exact path until the runtime issue is fixed
-        normal_anchors=0,
+        normal_anchors=0 if SMALL else 8192,
         match_mode="nn",
         match_threshold=0.25,
         algorithm="hough",

@@ -101,7 +101,10 @@ def estimate_normals_anchored(
     a_normals, a_curv = _normals_from_neighborhoods(
         cloud.xyz, idx, nvalid, a_mask, viewpoint, query_xyz=a_xyz
     )
-    d1, nn1 = knn(cloud.xyz, a_xyz, 1, source_mask=a_mask)
+    # XLA path (not Pallas): keeps the feature-extraction executable free of
+    # Mosaic kernels, which the current TPU runtime requires when another
+    # executable (the ICP stage) already carries one
+    d1, nn1 = knn(cloud.xyz, a_xyz, 1, source_mask=a_mask, allow_pallas=False)
     nearest = nn1[:, 0]
     ok = cloud.mask & (d1[:, 0] < 1e30)
     normals = jnp.where(ok[:, None], a_normals[nearest], 0.0)

@@ -43,7 +43,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "exclude_self")
+    jax.jit, static_argnames=("k", "chunk", "exclude_self", "allow_pallas")
 )
 def knn(
     query: jnp.ndarray,
@@ -52,6 +52,7 @@ def knn(
     source_mask: Optional[jnp.ndarray] = None,
     exclude_self: bool = False,
     chunk: Optional[int] = None,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest source points for each query point.
 
@@ -91,7 +92,7 @@ def knn(
     # smaller combination reproduces fine) — opt in with
     # TPU_JOINTS_PALLAS_MAXK=32 once the runtime issue is resolved.
     _maxk = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "1"))
-    if D == 3 and k <= _maxk and not exclude_self:
+    if allow_pallas and D == 3 and k <= _maxk and not exclude_self:
         from tpu_joints.neighbors.pallas_knn import knn_pallas, pallas_available
 
         if pallas_available():
