@@ -3,5 +3,17 @@ from tpu_joints.neighbors.bruteforce import (
     radius_neighbors,
     pairwise_sq_dist,
 )
+from tpu_joints.neighbors.grid import (
+    VoxelGrid,
+    build_grid,
+    grid_radius_neighbors,
+)
 
-__all__ = ["knn", "radius_neighbors", "pairwise_sq_dist"]
+__all__ = [
+    "VoxelGrid",
+    "build_grid",
+    "grid_radius_neighbors",
+    "knn",
+    "pairwise_sq_dist",
+    "radius_neighbors",
+]
