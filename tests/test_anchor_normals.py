@@ -1,6 +1,5 @@
 """Anchor-propagated normals vs exact normals (features.normals fast path)."""
 import numpy as np
-import jax.numpy as jnp
 
 from tpu_joints.core.cloud import make_cloud
 from tpu_joints.features.normals import estimate_normals, estimate_normals_anchored

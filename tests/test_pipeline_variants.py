@@ -1,7 +1,5 @@
 """Golden end-to-end tests for the FPFH and hypothesis-verification
 pipelines (reference FPFH_demo.cpp / SHOT_hypothesis.cpp behavior)."""
-import dataclasses
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ vertices and (optionally) triangular faces.
 """
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 

@@ -21,7 +21,7 @@ than one chip's HBM).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -17,12 +17,11 @@ correspondences of a sharded model against a sharded scene).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 INF = jnp.float32(3.0e38)
 

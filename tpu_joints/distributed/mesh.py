@@ -18,7 +18,7 @@ axis and ``model`` the inner axis when running multi-host.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -19,7 +19,7 @@ batched multi-scene mode trivial (`vmap` over scenes, shard over a mesh).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,13 +31,13 @@ from tpu_joints.features.fpfh import compute_fpfh
 from tpu_joints.features.lrf import shot_lrf
 from tpu_joints.features.normals import estimate_normals
 from tpu_joints.features.shot import compute_shot
-from tpu_joints.filters import compact_cloud, uniform_sample_mask, voxel_downsample
+from tpu_joints.filters import compact_cloud, uniform_sample_mask
 from tpu_joints.modelbank.bank import ModelBank
 from tpu_joints.neighbors import radius_neighbors
 from tpu_joints.recognize.gc import gc_group
 from tpu_joints.recognize.hough import Instances, hough_group
 from tpu_joints.recognize.hv import verify_hypotheses
-from tpu_joints.recognize.icp import fitness_score, icp, icp_multi
+from tpu_joints.recognize.icp import icp, icp_multi
 from tpu_joints.recognize.matching import Correspondences
 from tpu_joints.recognize.obb import OBB, oriented_bounding_box
 

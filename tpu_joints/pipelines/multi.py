@@ -9,10 +9,8 @@ Scene features are shared across parts via :func:`prepare_scene`.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple
 
-import jax
 import numpy as np
 
 from tpu_joints.config import DetectionConfig

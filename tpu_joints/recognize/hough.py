@@ -18,7 +18,7 @@ from wrong matches and never beat real peaks).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

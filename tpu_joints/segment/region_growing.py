@@ -17,7 +17,7 @@ O(graph diameter) sweeps, bounded by a ``lax.while_loop``.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
