@@ -17,7 +17,6 @@ converges to the same clusters as PCL's sequential walk.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
