@@ -9,6 +9,7 @@ toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,6 +20,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "tpujoints_native.cpp")
 _LIB = os.path.join(_HERE, "libtpujoints.so")
+_HASH = _LIB + ".srchash"
 _ABI = 1
 
 _lock = threading.Lock()
@@ -26,13 +28,33 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _stale() -> bool:
+    """A binary is trusted only if it was built from THIS source on THIS
+    machine: staleness keys on a source-content hash recorded at build time
+    (mtime comparison fails on fresh checkouts, where both files share a
+    timestamp), and nothing prebuilt ships in the repo."""
+    if not os.path.exists(_LIB) or not os.path.exists(_HASH):
+        return True
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
+
+
 def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-march=native",
-        _SRC, "-o", _LIB,
-    ]
+    # No -march=native: the artifact must not SIGILL if the filesystem moves
+    # to a different microarchitecture; nothing here is SIMD-bound anyway.
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_HASH, "w") as f:
+            f.write(_src_hash())
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -69,7 +91,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if _stale():
             if not _build():
                 return None
         try:

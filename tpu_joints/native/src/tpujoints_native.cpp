@@ -17,6 +17,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
+#include <stdexcept>
 #include <string>
 #include <vector>
 
@@ -73,11 +75,13 @@ struct Field {
 // Parses a .pcd file. Returns 0 on success. Outputs are malloc'd; the
 // caller owns them (free with tj_free). rgb is 0..1 floats or null when the
 // file has no color. n_out = number of points.
-int tj_load_pcd(const char* path, float** xyz_out, float** rgb_out,
-                long* n_out) {
-  *xyz_out = nullptr;
-  *rgb_out = nullptr;
-  *n_out = 0;
+//
+// Header values are untrusted: field sizes are clamped to {1,2,4,8},
+// POINTS/compressed sizes are validated against the actual file size before
+// any allocation, and every failure (including bad_alloc) comes back as a
+// nonzero rc across the C ABI so the Python fallback can take over.
+static int load_pcd_impl(const char* path, float** xyz_out, float** rgb_out,
+                         long* n_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
 
@@ -147,11 +151,41 @@ int tj_load_pcd(const char* path, float** xyz_out, float** rgb_out,
 
   long off = 0;
   for (size_t i = 0; i < names.size(); ++i) {
-    Field fd{names[i], types[i], sizes[i], counts[i], off};
-    off += (long)sizes[i] * counts[i];
+    int sz = sizes[i];
+    if ((sz != 1 && sz != 2 && sz != 4 && sz != 8) || counts[i] < 1 ||
+        counts[i] > 4096) {
+      std::fclose(f);
+      return 2;
+    }
+    Field fd{names[i], types[i], sz, counts[i], off};
+    off += (long)sz * counts[i];
     fields.push_back(fd);
   }
   record_size = off;
+  if (record_size <= 0) {
+    std::fclose(f);
+    return 2;
+  }
+
+  // Actual payload bytes left in the file — the cap for every
+  // header-declared size below.
+  long data_start = std::ftell(f);
+  std::fseek(f, 0, SEEK_END);
+  long file_end = std::ftell(f);
+  std::fseek(f, data_start, SEEK_SET);
+  long remaining = file_end > data_start ? file_end - data_start : 0;
+  if (npts > (long)(((unsigned long)-1 >> 1)) / record_size) {  // overflow
+    std::fclose(f);
+    return 2;
+  }
+  if (mode == 1 && record_size * npts > remaining) {
+    std::fclose(f);
+    return 5;
+  }
+  if (mode == 0 && npts > remaining) {  // ascii: ≥1 byte per point, minimum
+    std::fclose(f);
+    return 5;
+  }
 
   int ix = -1, iy = -1, iz = -1, irgb = -1;
   for (size_t i = 0; i < fields.size(); ++i) {
@@ -224,8 +258,14 @@ int tj_load_pcd(const char* path, float** xyz_out, float** rgb_out,
       uint32_t comp = 0, uncomp = 0;
       if (std::fread(&comp, 4, 1, f) != 1 || std::fread(&uncomp, 4, 1, f) != 1)
         rc = 5;
+      // PCL's writeBinaryCompressed emits exactly record_size·npts
+      // uncompressed bytes; anything else is a lying header. The compressed
+      // payload cannot exceed what is actually in the file.
+      if (!rc && ((long)comp > remaining - 8 ||
+                  (long)uncomp != record_size * npts))
+        rc = 5;
       if (!rc) {
-        std::vector<uint8_t> cbuf(comp);
+        std::vector<uint8_t> cbuf((size_t)comp);
         if ((long)std::fread(cbuf.data(), 1, comp, f) < (long)comp) rc = 5;
         data.resize(uncomp);
         if (!rc &&
@@ -254,13 +294,19 @@ int tj_load_pcd(const char* path, float** xyz_out, float** rgb_out,
           std::memcpy(&v, src, 8);
           return (float)v;
         }
+        // Integer fields can be 1/2/4/8 bytes (header-controlled): copy into
+        // an 8-byte local, never a narrower one.
         if (fd.type == 'U') {
-          uint32_t v = 0;
+          uint64_t v = 0;
           std::memcpy(&v, src, (size_t)fd.size);
           return (float)v;
         }
-        int32_t v = 0;
+        int64_t v = 0;
         std::memcpy(&v, src, (size_t)fd.size);
+        if (fd.size < 8) {  // sign-extend from the field's width
+          int shift = 64 - 8 * fd.size;
+          v = (int64_t)((uint64_t)v << shift) >> shift;
+        }
         return (float)v;
       };
       for (long p = 0; p < npts; ++p) {
@@ -281,6 +327,23 @@ int tj_load_pcd(const char* path, float** xyz_out, float** rgb_out,
   *rgb_out = rgb;
   *n_out = npts;
   return 0;
+}
+
+int tj_load_pcd(const char* path, float** xyz_out, float** rgb_out,
+                long* n_out) {
+  *xyz_out = nullptr;
+  *rgb_out = nullptr;
+  *n_out = 0;
+  // Nothing may escape the C ABI: a bad_alloc from a hostile header must be
+  // an error code, not a process abort, so the ctypes caller can fall back
+  // to the pure-Python parser.
+  try {
+    return load_pcd_impl(path, xyz_out, rgb_out, n_out);
+  } catch (const std::bad_alloc&) {
+    return 7;
+  } catch (...) {
+    return 8;
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -329,8 +392,10 @@ void tj_depth_to_cloud(const float* depth, long h, long w, float fov_deg,
   const float tan_half = std::tan(fov_deg * (float)M_PI / 360.0f);
   const float aspect = (float)h / (float)w;
   std::vector<float> xs((size_t)w), ys((size_t)h);
+  // x is negated to match the reference camera frame (ROS_server.cpp:2149:
+  // x_scale = -(i - resol_x/2)/f); keep in sync with serve/depth.py.
   for (long u = 0; u < w; ++u)
-    xs[(size_t)u] = (2.0f * ((float)u + 0.5f) / (float)w - 1.0f) * tan_half;
+    xs[(size_t)u] = -(2.0f * ((float)u + 0.5f) / (float)w - 1.0f) * tan_half;
   for (long v = 0; v < h; ++v)
     ys[(size_t)v] =
         (2.0f * ((float)v + 0.5f) / (float)h - 1.0f) * tan_half * aspect;

@@ -22,12 +22,18 @@ problem sizes (raw scenes ≤ 307k points → ≤ 32k after downsampling, banks 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 INF = jnp.float32(3.0e38)
+
+# Read once at import: this is consumed at *trace* time inside the jitted
+# knn, so a post-import change would be silently ignored by cached
+# executables. Import-time snapshot makes the opt-in deterministic.
+_PALLAS_MAXK = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "1"))
 
 
 def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -83,7 +89,6 @@ def knn(
         # Large k keeps small blocks: approx_min_k's per-block recall loss
         # grows with block width and visibly degrades SHOT supports at k=64.
         chunk = 8192 if (N >= 8192 and k <= 16) else 2048
-    import os
 
     # Default: Pallas only for k=1 (the ICP hot path). The k>1 kernel is
     # correct and ~2.5x faster than the XLA path in isolation, but the
@@ -91,8 +96,7 @@ def knn(
     # full-pipeline executable (INVALID_ARGUMENT on the 2nd run; every
     # smaller combination reproduces fine) — opt in with
     # TPU_JOINTS_PALLAS_MAXK=32 once the runtime issue is resolved.
-    _maxk = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "1"))
-    if allow_pallas and D == 3 and k <= _maxk and not exclude_self:
+    if allow_pallas and D == 3 and k <= _PALLAS_MAXK and not exclude_self:
         from tpu_joints.neighbors.pallas_knn import knn_pallas, pallas_available
 
         if pallas_available():

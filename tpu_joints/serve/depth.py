@@ -25,9 +25,12 @@ def pixel_scales(
     Returns (x_scale float32[W], y_scale float32[H]) such that a pixel
     (u, v) at metric depth z unprojects to (z·x_scale[u], z·y_scale[v], z).
     The horizontal FoV is ``fov_deg``; vertical FoV follows the aspect.
+    The x scale is negated to match the reference camera frame
+    (``ROS_server.cpp:2149``: ``x_scale = -(i - resol_x/2)/f``) so real
+    sensor depth yields grasp centroids in the frame the robot expects.
     """
     tan_half = np.tan(np.radians(fov_deg) / 2.0)
-    xs = (2.0 * (np.arange(width) + 0.5) / width - 1.0) * tan_half
+    xs = -(2.0 * (np.arange(width) + 0.5) / width - 1.0) * tan_half
     ys = (2.0 * (np.arange(height) + 0.5) / height - 1.0) * tan_half * (height / width)
     return xs.astype(np.float32), ys.astype(np.float32)
 
@@ -90,7 +93,8 @@ class FakeDepthCamera:
         pts = cam_xyz[keep]
         z = z[keep]
         tan_half = np.tan(np.radians(self.fov_deg) / 2.0)
-        u = np.floor((pts[:, 0] / z / tan_half + 1.0) * self.width / 2.0).astype(np.int64)
+        # Inverse of pixel_scales' negated x (reference ROS_server.cpp:2149).
+        u = np.floor((1.0 - pts[:, 0] / z / tan_half) * self.width / 2.0).astype(np.int64)
         v = np.floor(
             (pts[:, 1] / z / (tan_half * self.height / self.width) + 1.0)
             * self.height / 2.0
