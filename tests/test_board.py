@@ -1,0 +1,209 @@
+"""BOARD local reference frame tests (SURVEY.md A18, reference
+SHOT.cpp:441-453 — BOARDLocalReferenceFrameEstimation feeds Hough voting).
+
+Covers: plane-fit z axis with normal disambiguation, the border-aware
+x-axis (hole bisector on supports cut by a scan border), the steepness
+override on curved supports, repeatability of frames across two partial
+views of the same object (the property Hough voting actually needs), and
+the FPFH + BOARD + Hough end-to-end pipeline the reference's FPFH_demo.cpp
+runs (:548-585).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_joints.config import DetectionConfig
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.core import transforms as tr
+from tpu_joints.features.lrf import board_lrf
+from tpu_joints.features.normals import estimate_normals
+from tpu_joints.filters import compact_cloud, uniform_sample_mask
+from tpu_joints.modelbank import build_bank, render_views
+from tpu_joints.neighbors import radius_neighbors
+from tpu_joints.pipelines import detect
+
+from tests.util import knobby_joint_points
+
+
+def _frames_at(query_xyz, cloud, normals, rf_rad, k_max=320):
+    """BOARD frames at arbitrary query points against a support cloud."""
+    q = jnp.asarray(query_xyz, jnp.float32)
+    nidx, nwithin, _ = radius_neighbors(q, cloud.xyz, rf_rad, k_max,
+                                        source_mask=cloud.mask)
+    key_n = normals[nidx[:, 0]]
+    return board_lrf(q, key_n, cloud.xyz[nidx], normals[nidx], nwithin, rf_rad)
+
+
+def _disk_support(rng, n=400, gap=None, bump=0.0):
+    """Flat disk of radius 0.1 around the origin; ``gap`` = (lo, hi) angular
+    range (radians) left empty, as a scan border would; ``bump`` tilts the
+    normals in +x to make that direction steepest."""
+    theta = rng.uniform(0, 2 * np.pi, n * 2)
+    if gap is not None:
+        keep = ~((theta > gap[0]) & (theta < gap[1]))
+        theta = theta[keep][:n]
+    else:
+        theta = theta[:n]
+    r = 0.1 * np.sqrt(rng.uniform(0.02, 1.0, theta.size))
+    xyz = np.stack([r * np.cos(theta), r * np.sin(theta), np.zeros_like(theta)], 1)
+    nrm = np.tile([0.0, 0.0, 1.0], (theta.size, 1))
+    if bump:
+        lean = (xyz[:, 0] > 0.05)
+        nrm[lean] = [np.sin(bump), 0.0, np.cos(bump)]
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return xyz.astype(np.float32), nrm.astype(np.float32)
+
+
+def test_board_z_is_plane_normal(rng):
+    xyz, nrm = _disk_support(rng)
+    rf, ok = board_lrf(
+        jnp.zeros((1, 3)), jnp.asarray(nrm[:1]),
+        jnp.asarray(xyz)[None], jnp.asarray(nrm)[None],
+        jnp.ones((1, xyz.shape[0]), bool), 0.1,
+    )
+    # a full flat disk constrains z but no repeatable x: frame reported
+    # not-ok (ambiguous), yet the axes are still well-formed
+    assert not bool(ok[0])
+    z = np.asarray(rf[0, 2])
+    assert abs(z @ [0, 0, 1]) > 0.999
+    assert z[2] > 0  # oriented along the neighbor normals
+    # rows form a right-handed orthonormal basis
+    R = np.asarray(rf[0])
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(R) > 0.99
+
+
+def test_board_hole_bisector_on_border(rng):
+    """A flat support cut by a border (empty arc 0..π/2): x must bisect the
+    hole (the repeatable border direction), at angle π/4."""
+    xyz, nrm = _disk_support(rng, gap=(0.0, np.pi / 2))
+    rf, ok = board_lrf(
+        jnp.zeros((1, 3)), jnp.asarray(nrm[:1]),
+        jnp.asarray(xyz)[None], jnp.asarray(nrm)[None],
+        jnp.ones((1, xyz.shape[0]), bool), 0.1,
+    )
+    assert bool(ok[0])
+    x = np.asarray(rf[0, 0])
+    want = np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0])
+    # the flat support has no steep direction -> hole bisector decides x
+    assert abs(x @ want) > 0.95, f"x={x}, expected ±{want}"
+
+
+def test_board_steepest_wins_on_curved_support(rng):
+    """When the margin holds a genuinely steep normal, it defines x even if
+    the support also has a hole (PCL's steep_thresh behavior)."""
+    xyz, nrm = _disk_support(rng, gap=(2.0, 3.5), bump=0.5)
+    rf, ok = board_lrf(
+        jnp.zeros((1, 3)), jnp.asarray(nrm[:1]),
+        jnp.asarray(xyz)[None], jnp.asarray(nrm)[None],
+        jnp.ones((1, xyz.shape[0]), bool), 0.1,
+    )
+    assert bool(ok[0])
+    x = np.asarray(rf[0, 0])
+    assert x[0] > 0.8, f"x={x} should point toward the steep (+x) margin"
+
+
+def test_board_repeatability_across_partial_views(rng):
+    """Frames computed at the same physical points from two different
+    partial views must agree (VERDICT: delta < 10° for ≥ 90% of co-visible
+    keypoints) — the property that makes Hough votes from bank and scene
+    land in the same accumulator bin."""
+    model_xyz, _ = knobby_joint_points(rng, n_chord=2500, n_stub=1500)
+    # level 1 = the production bank's 42 views (render.cpp:33-35): adjacent
+    # cameras ~32° apart, which is the operational baseline — a scene is
+    # never matched against a view farther than its nearest bank neighbor
+    views, poses, _ = render_views(model_xyz, level=1, resolution=160)
+    # two most-similar cameras = smallest relative rotation angle
+    best = (1e9, 0, 1)
+    for a in range(len(views)):
+        for b in range(a + 1, len(views)):
+            ang = float(tr.rotation_geodesic_deg(
+                jnp.asarray(poses[a][:3, :3]), jnp.asarray(poses[b][:3, :3])))
+            if ang < best[0] and views[a].shape[0] > 800 and views[b].shape[0] > 800:
+                best = (ang, a, b)
+    _, a, b = best
+    T_ba = poses[b] @ np.linalg.inv(poses[a])
+    R_ba = T_ba[:3, :3]
+
+    rf_rad = 0.1
+    cloud_a = make_cloud(views[a], capacity=4096)
+    cloud_b = make_cloud(views[b], capacity=4096)
+    normals_a, _ = estimate_normals(cloud_a, k=12)
+    normals_b, _ = estimate_normals(cloud_b, k=12)
+
+    keep = uniform_sample_mask(cloud_a, 0.04)
+    keys_a, _ = compact_cloud(cloud_a, keep, 128)
+    rf_a, ok_a = _frames_at(keys_a.xyz, cloud_a, normals_a, rf_rad)
+
+    pred_b = np.asarray(keys_a.xyz) @ R_ba.T + T_ba[:3, 3]
+    rf_b, ok_b = _frames_at(pred_b, cloud_b, normals_b, rf_rad)
+
+    # co-visible = B actually sampled that surface point
+    _, covis, _ = radius_neighbors(jnp.asarray(pred_b), cloud_b.xyz, 0.01, 1,
+                                   source_mask=cloud_b.mask)
+    base = np.asarray(covis[:, 0]) & np.asarray(keys_a.mask)
+    sel = np.asarray(ok_a) & np.asarray(ok_b) & base
+    assert sel.sum() >= 20, f"too few co-visible keypoints: {sel.sum()}"
+    # the ok gate may drop ambiguous frames, but must keep most of them
+    assert sel.sum() >= 0.6 * base.sum(), (
+        f"ok gate too aggressive: {sel.sum()}/{base.sum()}")
+
+    pred_rf_b = np.asarray(rf_a) @ R_ba.T  # rows (axes) rotate by R_ba
+    deltas = []
+    for i in np.flatnonzero(sel):
+        ang = float(tr.rotation_geodesic_deg(
+            jnp.asarray(pred_rf_b[i].T), jnp.asarray(np.asarray(rf_b)[i].T)))
+        deltas.append(ang)
+    deltas = np.asarray(deltas)
+    frac = float(np.mean(deltas < 10.0))
+    assert frac >= 0.9, (
+        f"only {frac:.0%} of {deltas.size} frames repeat within 10° "
+        f"(median {np.median(deltas):.1f}°)")
+
+
+def test_fpfh_board_hough_end_to_end(rng):
+    """FPFH_demo.cpp's actual stack: FPFH-33 + BOARD frames + Hough voting
+    (round 1 had to fall back to GC because the SHOT-LRF frames were not
+    repeatable on FPFH keypoints)."""
+    cfg = DetectionConfig(
+        descriptor="fpfh", descr_rad=0.15, rf_rad=0.12, rf_frames="board",
+        model_ss=0.03, scene_ss=0.03, normal_k=12,
+        match_mode="ratio", ratio=0.92,
+        algorithm="hough", cg_size=0.05, cg_thresh=3.0,
+        icp_iterations=20, max_candidates=4, accept_fitness=0.001,
+        scene_capacity=4096, scene_key_capacity=256, k_max=96,
+    )
+    model_xyz, _ = knobby_joint_points(rng, n_chord=1200, n_stub=700)
+    # small pose delta: the operational regime — a 42-view bank keeps the
+    # nearest view ≤ ~16° from any scene viewpoint (render.cpp:33-35); CI
+    # uses a 12-view (level-0) bank for speed, so the scene is posed ≤ 12°
+    # from a bank view to exercise the same frame-repeatability regime
+    rngT = np.random.default_rng(3)
+    axis = rngT.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = np.radians(12.0)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    T_world = np.eye(4, dtype=np.float32)
+    T_world[:3, :3] = (np.eye(3) + np.sin(ang) * K
+                       + (1 - np.cos(ang)) * K @ K).astype(np.float32)
+    T_world[:3, 3] = rngT.uniform(-0.3, 0.3, 3).astype(np.float32)
+    moved = model_xyz @ T_world[:3, :3].T + T_world[:3, 3]
+    views, poses, _ = render_views(moved, level=0, resolution=128)
+    v = int(np.argmax([w.shape[0] for w in views]))
+    T_gt = poses[v] @ T_world
+
+    bank = build_bank(
+        model_xyz, descriptor="fpfh", descr_radius=cfg.descr_rad,
+        rf_radius=cfg.rf_rad, frames="board",
+        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
+        level=0, resolution=128, key_capacity=128,
+    )
+    scene = make_cloud(views[v], capacity=cfg.scene_capacity)
+    res = detect(scene, bank, cfg)
+    assert bool(res.accepted), f"fitness={float(res.fitness)}"
+    T_est = np.asarray(res.full_pose)
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T_gt[:3, :3]),
+                                         jnp.asarray(T_est[:3, :3])))
+    terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    assert ang < 1.5, f"rotation error {ang}°"
+    assert terr < 0.008, f"translation error {terr*1000:.1f} mm"

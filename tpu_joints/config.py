@@ -23,6 +23,14 @@ class DetectionConfig:
     descriptor: str = "shot"          # "shot" | "fpfh"
     descr_rad: float = 0.02           # SHOT.cpp:52 (descr_rad_ 0.02)
     rf_rad: float = 0.015             # SHOT.cpp:51
+    # Hough voting frames: "shot" (SHOT LRF) or "board" (the reference feeds
+    # BOARD frames to Hough in every driver, SHOT.cpp:441-453). Must match
+    # the frames the bank was built with.
+    rf_frames: str = "shot"
+    # support gather width for the frame estimators: BOARD needs the margin
+    # annulus of the rf_rad ball populated, so this must exceed the expected
+    # point count inside the full radius (k nearest ≠ radius coverage)
+    rf_k_max: int = 256
     # sampling
     model_ss: float = 0.01            # CAD_desc.cpp uniform sampling 0.01
     scene_ss: float = 0.03            # SHOT_demo VoxelGrid 0.03 (:413-417)
@@ -103,6 +111,7 @@ FPFH_DEMO = DetectionConfig(
     # FPFH_demo.cpp: FPFH r=0.15, VoxelGrid 0.03/0.02, ratio τ ≤ 1,
     # region-growing crop, chained full-CAD ICP accept < 0.006
     descriptor="fpfh", descr_rad=0.15, scene_ss=0.03, model_ss=0.02,
+    rf_frames="board",                # FPFH_demo pairs FPFH with BOARD (:548-585)
     match_mode="ratio", ratio=1.0, segment_scene=True,
     accept_fitness=0.006, final_icp_iterations=3,
 )

@@ -24,7 +24,7 @@ import numpy as np
 
 from tpu_joints.core.cloud import Cloud, bucket_size, make_cloud
 from tpu_joints.features.fpfh import compute_fpfh
-from tpu_joints.features.lrf import shot_lrf
+from tpu_joints.features.lrf import board_lrf, shot_lrf
 from tpu_joints.features.normals import estimate_normals
 from tpu_joints.features.shot import compute_shot
 from tpu_joints.filters import compact_cloud, uniform_sample_mask
@@ -115,6 +115,8 @@ def build_bank(
     descriptor: str = "shot",
     descr_radius: float = 0.02,
     rf_radius: Optional[float] = None,
+    frames: str = "shot",
+    rf_k_max: int = 256,
     sampling_radius: float = 0.01,
     normal_k: int = 40,
     k_max: int = 128,
@@ -132,6 +134,9 @@ def build_bank(
     (normals k=40 ``:283-289``, uniform sampling 0.01 ``:295-304``, SHOT
     ``:339-352``). Pass ``views``/``poses`` to skip rendering (e.g. when
     the partial views come from disk like ``stub_poses/<l>.pcd``).
+    ``frames`` selects the Hough-voting LRF ("shot" or "board" — the
+    reference pairs its descriptors with BOARD, ``SHOT.cpp:441-453``) and
+    must match the detection config's ``rf_frames``.
     """
     if rf_radius is None:
         rf_radius = descr_radius  # frames MUST match the scene side's rf_rad
@@ -149,22 +154,32 @@ def build_bank(
         keys, kidx = compact_cloud(cloud, keep, key_capacity)
         if descriptor == "shot":
             desc, rf, valid = compute_shot(keys, cloud, normals, radius=descr_radius, k_max=k_max)
+            need_rf = frames != "shot"
         elif descriptor == "fpfh":
             desc, valid = compute_fpfh(keys, normals[kidx], cloud, normals,
                                        radius=descr_radius, k_max=k_max)
-            # FPFH carries no frame of its own; Hough voting still needs
-            # repeatable LRFs (the reference pairs FPFH with BOARD frames,
-            # FPFH_demo.cpp:548-585 — here the SHOT LRF plays that role).
-            # The radius must equal the scene side's ``rf_rad`` or votes
-            # from bank and scene frames land in different accumulator bins.
-            nidx, nwithin, _ = radius_neighbors(
-                keys.xyz, cloud.xyz, rf_radius, k_max, source_mask=cloud.mask
-            )
-            rf, rf_ok = shot_lrf(keys.xyz, cloud.xyz[nidx],
-                                 nwithin & keys.mask[:, None], rf_radius)
-            valid = valid & rf_ok
+            rf = None
+            need_rf = True
         else:
             raise ValueError(f"unknown descriptor {descriptor!r}")
+        if need_rf:
+            # Hough voting frames (the reference pairs its descriptors with
+            # BOARD, FPFH_demo.cpp:548-585). The radius must equal the scene
+            # side's ``rf_rad`` or votes from bank and scene frames land in
+            # different accumulator bins.
+            nidx, nwithin, _ = radius_neighbors(
+                keys.xyz, cloud.xyz, rf_radius, max(k_max, rf_k_max),
+                source_mask=cloud.mask
+            )
+            nvalid = nwithin & keys.mask[:, None]
+            if frames == "board":
+                rf, rf_ok = board_lrf(keys.xyz, normals[kidx], cloud.xyz[nidx],
+                                      normals[nidx], nvalid, rf_radius)
+            elif frames == "shot":
+                rf, rf_ok = shot_lrf(keys.xyz, cloud.xyz[nidx], nvalid, rf_radius)
+            else:
+                raise ValueError(f"unknown frames {frames!r}")
+            valid = valid & rf_ok
         all_view_xyz.append(cloud.xyz)
         all_view_mask.append(cloud.mask)
         all_keys.append(keys.xyz)
@@ -174,6 +189,7 @@ def build_bank(
 
     params = dict(
         descriptor=descriptor, descr_radius=descr_radius, rf_radius=rf_radius,
+        frames=frames,
         sampling_radius=sampling_radius, normal_k=normal_k, k_max=k_max,
         level=level, resolution=resolution, n_views=len(views),
     )

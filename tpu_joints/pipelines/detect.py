@@ -28,7 +28,7 @@ from tpu_joints.config import DetectionConfig
 from tpu_joints.core.cloud import Cloud
 from tpu_joints.core.transforms import compose
 from tpu_joints.features.fpfh import compute_fpfh
-from tpu_joints.features.lrf import shot_lrf
+from tpu_joints.features.lrf import board_lrf, shot_lrf
 from tpu_joints.features.normals import estimate_normals
 from tpu_joints.features.shot import compute_shot
 from tpu_joints.filters import compact_cloud, uniform_sample_mask
@@ -126,16 +126,30 @@ def prepare_scene(
         desc, rf, valid = compute_shot(keys, scene, normals, radius=cfg.descr_rad,
                                        k_max=cfg.k_max)
         rf_ok = valid
+        need_rf = cfg.rf_frames != "shot"
     elif cfg.descriptor == "fpfh":
         desc, valid = compute_fpfh(keys, normals[kidx], scene, normals,
                                    radius=cfg.descr_rad, k_max=cfg.k_max)
-        nidx, nwithin, _ = radius_neighbors(
-            keys.xyz, scene.xyz, cfg.rf_rad, cfg.k_max, source_mask=scene.mask
-        )
-        rf, rf_ok = shot_lrf(keys.xyz, scene.xyz[nidx],
-                             nwithin & keys.mask[:, None], cfg.rf_rad)
+        rf = rf_ok = None
+        need_rf = True
     else:
         raise ValueError(f"unknown descriptor {cfg.descriptor!r}")
+
+    if need_rf:
+        # Hough voting frames, computed at rf_rad on the raw scene (must use
+        # the same radius as the bank side or votes scatter across bins).
+        nidx, nwithin, _ = radius_neighbors(
+            keys.xyz, scene.xyz, cfg.rf_rad, cfg.rf_k_max, source_mask=scene.mask
+        )
+        nvalid = nwithin & keys.mask[:, None]
+        if cfg.rf_frames == "board":
+            # the reference's Hough frames (BOARD, SHOT.cpp:441-453)
+            rf, rf_ok = board_lrf(keys.xyz, normals[kidx], scene.xyz[nidx],
+                                  normals[nidx], nvalid, cfg.rf_rad)
+        elif cfg.rf_frames == "shot":
+            rf, rf_ok = shot_lrf(keys.xyz, scene.xyz[nidx], nvalid, cfg.rf_rad)
+        else:
+            raise ValueError(f"unknown rf_frames {cfg.rf_frames!r}")
 
     return SceneFeatures(cloud=scene, normals=normals, keys=keys,
                          desc=desc, desc_valid=valid, rf=rf, rf_ok=rf_ok)

@@ -93,12 +93,20 @@ def hough_group(
     # scene position of the predicted model centroid: p + R_scene^T · local
     votes_xyz = scene_keys + jnp.einsum("mji,mj->mi", scene_rf, cast)
 
-    # PCL's distance weight: w = 1 - descriptor_distance (clamped).
+    # Distance weighting (PCL's setUseDistanceWeight(true), SHOT.cpp:460):
+    # closer descriptor matches vote stronger. PCL's raw ``1 - distance``
+    # only makes sense at SHOT's O(1) distance scale — FPFH squared
+    # distances run into the hundreds and would flatten every weight, so
+    # the weight here is the scale-free 1/(1+d²) *normalized to mean 1
+    # over the valid correspondences*: the accumulator then counts
+    # "average-quality votes" and ``threshold`` keeps the reference's
+    # vote-count semantics for every descriptor.
+    nvalid = jnp.maximum(jnp.sum(cvalid.astype(jnp.float32)), 1.0)
     if use_distance_weight:
-        w = jnp.clip(1.0 - corrs.dist_sq, 0.05, 1.0)
+        w = 1.0 / (1.0 + corrs.dist_sq) * cvalid.astype(jnp.float32)
+        w = w * (nvalid / jnp.maximum(jnp.sum(w), 1e-9))
     else:
-        w = jnp.ones((M,), jnp.float32)
-    w = w * cvalid.astype(jnp.float32)
+        w = cvalid.astype(jnp.float32)
 
     # static-extent accumulator centered on the weighted vote median (the
     # mean is robust enough here and cheaper than a true median)
