@@ -1,0 +1,168 @@
+"""Organized-cloud fast path: integral-image normals + raw-sensor ingest.
+
+The reference's live input is a 640×480 organized sensor cloud
+(``ROS_server.cpp:2138``); these tests cover the TPU front end for it:
+stencil normals vs the k-NN oracle, the crop/downsample working-set builder,
+and the complete raw-image → pose chain at sensor-like resolution.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_joints.config import DetectionConfig
+from tpu_joints.core import transforms as tr
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.features.normals import estimate_normals
+from tpu_joints.features.organized import estimate_normals_organized
+from tpu_joints.modelbank import build_bank
+from tpu_joints.pipelines import detect
+from tpu_joints.pipelines.ingest import ingest_organized
+from tests.util import joint_points, random_rotation, raycast_joint
+
+
+def _camera_scene(rng, width=320, height=240, n_chord=20000, n_stub=12000,
+                  seed_T=7):
+    """Joint posed in front of the camera; returns (model, xyz_img, valid, T_gt).
+
+    The organized image is a dense analytic raycast — every surface pixel
+    carries depth, like a real sensor frame (the FakeDepthCamera point
+    splatter leaves hole pixels that a real sensor does not)."""
+    model_xyz, _ = joint_points(rng, n_chord=n_chord, n_stub=n_stub)
+    rngT = np.random.default_rng(seed_T)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = random_rotation(rngT)
+    T[:3, 3] = np.array([0.0, 0.0, 1.0], np.float32)  # 1 m in front
+    xyz_img = raycast_joint(T, width=width, height=height)
+    valid = np.isfinite(xyz_img).all(axis=-1)
+    return model_xyz, jnp.asarray(np.nan_to_num(xyz_img)), jnp.asarray(valid), T
+
+
+def _interior(valid, z, margin=3, jump=0.02):
+    """Pixels ≥ margin px (Chebyshev) from any depth edge / invalid pixel —
+    where BOTH the organized and the kNN estimator are well-posed (the kNN
+    oracle itself smears across depth gaps, so edge pixels can't arbitrate)."""
+    H, W = valid.shape
+
+    def shift(a, di, dj, fill):
+        out = np.full_like(a, fill)
+        out[max(di, 0):H + min(di, 0), max(dj, 0):W + min(dj, 0)] = \
+            a[max(-di, 0):H + min(-di, 0), max(-dj, 0):W + min(-dj, 0)]
+        return out
+
+    zz = np.where(valid, z, np.nan)
+    edge = ~valid
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == dj == 0:
+                continue
+            nz = shift(zz, di, dj, np.nan)
+            edge |= ~np.isfinite(nz) | (np.abs(nz - zz) > jump)
+    grown = edge.copy()
+    for _ in range(margin):
+        nxt = grown.copy()
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                nxt |= shift(grown, di, dj, False)
+        grown = nxt
+    return ~grown & valid
+
+
+def test_organized_normals_match_knn_oracle(rng):
+    _, xyz_img, valid, _ = _camera_scene(rng)
+    normals_img, curv_img = estimate_normals_organized(
+        xyz_img, valid, half_window=3)
+    H, W, _ = xyz_img.shape
+
+    interior = _interior(np.asarray(valid), np.asarray(xyz_img)[..., 2])
+    flat = np.asarray(xyz_img).reshape(-1, 3)
+    vmask = np.asarray(valid).reshape(-1)
+    pts = flat[vmask]
+    sub = np.random.default_rng(1).choice(len(pts), 4000, replace=False)
+    cloud = make_cloud(pts[sub], capacity=4096)
+    knn_normals, knn_curv = estimate_normals(cloud, k=16)
+
+    # organized normals at the same physical points (gather by pixel)
+    vidx = np.flatnonzero(vmask)[sub]
+    org = np.asarray(normals_img).reshape(-1, 3)[vidx]
+    ref = np.asarray(knn_normals)[: len(sub)]
+    ok = (np.asarray(cloud.mask)[: len(sub)]
+          & (np.linalg.norm(org, axis=1) > 0.5)
+          & interior.reshape(-1)[vidx])
+    assert ok.sum() > 1000
+    align = np.abs(np.einsum("ij,ij->i", org[ok], ref[ok]))
+    frac = float(np.mean(align > np.cos(np.radians(15.0))))
+    assert frac >= 0.95, f"only {frac:.0%} of organized normals within 15° of kNN"
+
+    # curvature: flat chord body must look flatter than a random mix
+    assert float(np.median(np.asarray(curv_img)[np.asarray(valid)])) < 0.2
+
+
+def test_ingest_organized_working_set(rng):
+    _, xyz_img, valid, _ = _camera_scene(rng)
+    scene, normals, curvature, n_sel = ingest_organized(
+        xyz_img, valid, capacity=8192, leaf=0.008, half_window=3)
+    n_sel = int(n_sel)
+    assert 500 < n_sel <= 8192, n_sel
+    assert int(scene.mask.sum()) == n_sel
+    got = np.asarray(scene.mask)
+    # normals present for every selected point
+    assert np.all(np.linalg.norm(np.asarray(normals)[got], axis=1) > 0.5)
+    # uniform sampling thins to roughly one point per leaf cell
+    pts = np.asarray(scene.xyz)[got]
+    from tpu_joints.neighbors import radius_neighbors
+
+    idx, within, d = radius_neighbors(jnp.asarray(pts[:256]), scene.xyz,
+                                      0.004, 4, source_mask=scene.mask)
+    # no two kept points closer than ~half a leaf (loose check)
+    nn = np.where(np.asarray(within[:, 1]), np.sqrt(np.asarray(d[:, 1])), 1.0)
+    assert float(np.median(nn)) > 0.004
+
+    # crop box drops everything outside
+    lo = jnp.asarray([-0.1, -0.1, 0.0], jnp.float32)
+    hi = jnp.asarray([0.1, 0.1, 2.0], jnp.float32)
+    scene2, _, _, n2 = ingest_organized(
+        xyz_img, valid, capacity=8192, leaf=0.008, half_window=3,
+        crop_lo=lo, crop_hi=hi)
+    kept = np.asarray(scene2.xyz)[np.asarray(scene2.mask)]
+    assert int(n2) < n_sel
+    assert np.all(kept[:, 0] >= -0.1 - 1e-6) and np.all(kept[:, 0] <= 0.1 + 1e-6)
+
+
+def test_detect_from_organized_end_to_end(rng):
+    """Raw sensor image → ingest → detect: the reference's cloud_cb chain
+    (SHOT.cpp:204-523) at sensor-like scale, normals from the grid."""
+    model_xyz, xyz_img, valid, T_gt = _camera_scene(rng)
+    cfg = DetectionConfig(
+        descriptor="shot", descr_rad=0.12, model_ss=0.03, scene_ss=0.03,
+        normal_k=12, match_mode="nn", match_threshold=0.25,
+        algorithm="hough", cg_size=0.05, cg_thresh=3.0,
+        icp_iterations=30, max_candidates=4, accept_fitness=0.001,
+        # independent surface sampling + partial views: trim occluded
+        # correspondences, coarse-to-fine so the Hough basin is kept
+        icp_max_corr_dist=0.02, icp_max_corr_start=0.2,
+        final_icp_iterations=3, final_accept_fitness=0.006,
+        scene_capacity=8192, scene_key_capacity=256, k_max=96,
+    )
+    scene, normals, curvature, n_sel = ingest_organized(
+        xyz_img, valid, capacity=cfg.scene_capacity, leaf=0.008,
+        half_window=3)
+    assert int(n_sel) <= cfg.scene_capacity
+
+    bank = build_bank(
+        model_xyz[:: max(1, len(model_xyz) // 20000)],
+        descriptor="shot", descr_radius=cfg.descr_rad,
+        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
+        level=0, resolution=128, key_capacity=128,
+    )
+    res = detect(scene, bank, cfg, scene_normals=normals,
+                 scene_curvature=curvature)
+    assert bool(res.accepted), f"fitness={float(res.fitness)}"
+    T_est = np.asarray(res.full_pose)
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T_gt[:3, :3]),
+                                         jnp.asarray(T_est[:3, :3])))
+    terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    # tolerances are looser than the shared-sampling goldens: the raycast
+    # scene samples the TRUE surface independently of the bank's point
+    # model, so the noise floor is set by the 8 mm working-set leaf (ICP
+    # initialized AT ground truth converges to ~0.3°/6 mm on this data)
+    assert ang < 2.0, f"rotation error {ang}°"
+    assert terr < 0.015, f"translation error {terr*1000:.1f} mm"

@@ -91,3 +91,22 @@ def joint_points(rng, n_chord=700, n_stub=400, jitter=0.0):
     xyz = np.concatenate([chord, stub]).astype(np.float32)
     nrm = np.concatenate([chord_n, stub_n]).astype(np.float32)
     return xyz, nrm
+
+
+def joint_cylinders():
+    """The joint_points geometry as analytic (center, axis, radius,
+    half_length) cylinders, for dense depth raycasting."""
+    a = np.radians(30.0)
+    stub_axis = np.array([np.sin(a), 0.0, np.cos(a)])
+    return [
+        (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
+        (np.array([0.0, 0.0, 0.23]), stub_axis, 0.05, 0.15),
+    ]
+
+
+def raycast_joint(T_model_to_cam, width=320, height=240, fov_deg=57.0):
+    """Dense organized camera-frame cloud of the joint (NaN at misses)."""
+    from tpu_joints.serve.depth import raycast_cylinders
+
+    return raycast_cylinders(joint_cylinders(), T_model_to_cam,
+                             width=width, height=height, fov_deg=fov_deg)

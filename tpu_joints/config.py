@@ -58,8 +58,17 @@ class DetectionConfig:
     # refinement
     icp_iterations: int = 30          # SHOT.cpp icp_align: 100 iters; 30 suffices with exact NN
     icp_max_corr_dist: float = 3.0e38 # SHOT_hypothesis.cpp:511 uses 0.001
+    # > 0 enables a coarse-to-fine correspondence-gate schedule from this
+    # value down to icp_max_corr_dist (wide basin early, occlusion-robust
+    # trimming late — see recognize.icp._corr_thresholds)
+    icp_max_corr_start: float = 0.0
     max_candidates: int = 4           # instances refined by ICP
     accept_fitness: float = 0.001     # SHOT.cpp:187
+    # rank candidates by the FULL CAD's fitness at the composed pose (the
+    # reference's best-score2 tracking, SHOT_demo.cpp:669-681) instead of
+    # the matched view cloud's own fitness, which is blind to the chord
+    # cylinder's slide/spin symmetry. Ignored for banks without a model.
+    select_by_model_fitness: bool = True
     # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0

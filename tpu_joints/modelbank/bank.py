@@ -117,6 +117,7 @@ def build_bank(
     rf_radius: Optional[float] = None,
     frames: str = "shot",
     rf_k_max: int = 256,
+    surface_leaf: Optional[float] = None,
     sampling_radius: float = 0.01,
     normal_k: int = 40,
     k_max: int = 128,
@@ -137,6 +138,15 @@ def build_bank(
     ``frames`` selects the Hough-voting LRF ("shot" or "board" — the
     reference pairs its descriptors with BOARD, ``SHOT.cpp:441-453``) and
     must match the detection config's ``rf_frames``.
+
+    ``surface_leaf``: when set, each view is uniform-downsampled to this
+    resolution before normals/keypoints/descriptors (the ICP clouds keep
+    the full views). Descriptors computed over a ``k_max``-truncated
+    radius support are only comparable between clouds of similar density —
+    a bank view 3× denser than the scene working set truncates at a 3×
+    smaller effective radius and its descriptors match nothing. Set this
+    to the scene working-set resolution (e.g. the organized ingest's block
+    pitch).
     """
     if rf_radius is None:
         rf_radius = descr_radius  # frames MUST match the scene side's rf_rad
@@ -148,7 +158,11 @@ def build_bank(
     all_view_xyz, all_view_mask = [], []
     all_keys, all_valid, all_desc, all_rf = [], [], [], []
     for vxyz in views:
-        cloud = make_cloud(vxyz, capacity=view_capacity)
+        cloud_full = make_cloud(vxyz, capacity=view_capacity)
+        cloud = cloud_full
+        if surface_leaf is not None:
+            sel = uniform_sample_mask(cloud_full, surface_leaf)
+            cloud, _ = compact_cloud(cloud_full, sel, view_capacity)
         normals, _ = estimate_normals(cloud, k=normal_k)
         keep = uniform_sample_mask(cloud, sampling_radius)
         keys, kidx = compact_cloud(cloud, keep, key_capacity)
@@ -180,8 +194,8 @@ def build_bank(
             else:
                 raise ValueError(f"unknown frames {frames!r}")
             valid = valid & rf_ok
-        all_view_xyz.append(cloud.xyz)
-        all_view_mask.append(cloud.mask)
+        all_view_xyz.append(cloud_full.xyz)
+        all_view_mask.append(cloud_full.mask)
         all_keys.append(keys.xyz)
         all_valid.append(valid & keys.mask)
         all_desc.append(desc)
@@ -189,7 +203,7 @@ def build_bank(
 
     params = dict(
         descriptor=descriptor, descr_radius=descr_radius, rf_radius=rf_radius,
-        frames=frames,
+        frames=frames, surface_leaf=surface_leaf,
         sampling_radius=sampling_radius, normal_k=normal_k, k_max=k_max,
         level=level, resolution=resolution, n_views=len(views),
     )

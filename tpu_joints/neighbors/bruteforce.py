@@ -33,6 +33,17 @@ INF = jnp.float32(3.0e38)
 # Read once at import: this is consumed at *trace* time inside the jitted
 # knn, so a post-import change would be silently ignored by cached
 # executables. Import-time snapshot makes the opt-in deterministic.
+#
+# Default 1 = Pallas only for k=1 (the ICP hot path). The TPU runtime
+# deterministically faults (INVALID_ARGUMENT, context poisoned — no retry
+# recovers) when certain pairs of distinct Mosaic kNN programs execute in
+# one process and one then re-executes. Round-2 bisection (see
+# docs/PERFORMANCE.md) ruled out tile geometry, kernel_name collisions,
+# scan embedding, masks, and the compile cache individually — the trigger
+# is a property of the closed runtime, so the shipped policy is the one
+# empirically stable configuration: the minimal kernel set, stress-tested
+# by tests/test_pallas_stress.py and the 50-run pipeline soak. Set
+# TPU_JOINTS_PALLAS_MAXK=32 to opt k<=32 kNN into Pallas, 0 to disable.
 _PALLAS_MAXK = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "1"))
 
 
@@ -90,19 +101,19 @@ def knn(
         # grows with block width and visibly degrades SHOT supports at k=64.
         chunk = 8192 if (N >= 8192 and k <= 16) else 2048
 
-    # Default: Pallas only for k=1 (the ICP hot path). The k>1 kernel is
-    # correct and ~2.5x faster than the XLA path in isolation, but the
-    # current TPU runtime intermittently faults re-executing it inside the
-    # full-pipeline executable (INVALID_ARGUMENT on the 2nd run; every
-    # smaller combination reproduces fine) — opt in with
-    # TPU_JOINTS_PALLAS_MAXK=32 once the runtime issue is resolved.
     if allow_pallas and D == 3 and k <= _PALLAS_MAXK and not exclude_self:
         from tpu_joints.neighbors.pallas_knn import knn_pallas, pallas_available
 
         if pallas_available():
-            # fused Pallas kernel: distance + streaming top-k in VMEM
+            # fused Pallas kernel: distance + streaming top-k in VMEM.
+            # The tile geometry is FIXED process-wide (tn=2048, tm=256), not
+            # derived from `chunk`: the TPU runtime deterministically faults
+            # (INVALID_ARGUMENT) when Mosaic kNN programs with *different*
+            # tile widths re-execute in one process (see
+            # tests/test_pallas_stress.py and docs/PERFORMANCE.md). `chunk`
+            # only tunes the XLA fallback path below.
             return knn_pallas(query, source, k, source_mask=source_mask,
-                              tn=max(chunk, 512))
+                              tn=2048)
     if source_mask is None:
         source_mask = jnp.ones((N,), bool)
 

@@ -115,7 +115,18 @@ def knn_pallas(
     s2 = jnp.full((1, Np), INF, jnp.float32).at[0, :N].set(s2)
 
     n_i, n_j = Mp // tm, Np // tn
-    kernel = functools.partial(_knn_kernel, k=k, tm=tm, tn=tn, n_j=n_j)
+
+    # Unique kernel_name per instantiation (a real def, not a partial — the
+    # name must survive into the custom call's kernel_name attribute): the
+    # TPU runtime deterministically faulted (INVALID_ARGUMENT) re-executing
+    # a Mosaic program after a *different* program whose custom call carried
+    # the SAME kernel_name had run — payload bytes differ per
+    # (shape, k, tile) but the name "_knn_kernel" collided (round-1 A,B,A
+    # fault; see docs/PERFORMANCE.md and tests/test_pallas_stress.py).
+    def kernel(*refs):
+        return _knn_kernel(*refs, k=k, tm=tm, tn=tn, n_j=n_j)
+
+    kernel.__name__ = f"_knn_kernel_m{Mp}_n{Np}_k{k}_tm{tm}_tn{tn}"
     outd, outi = pl.pallas_call(
         kernel,
         grid=(n_i, n_j),

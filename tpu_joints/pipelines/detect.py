@@ -37,7 +37,7 @@ from tpu_joints.neighbors import radius_neighbors
 from tpu_joints.recognize.gc import gc_group
 from tpu_joints.recognize.hough import Instances, hough_group
 from tpu_joints.recognize.hv import verify_hypotheses
-from tpu_joints.recognize.icp import icp, icp_multi
+from tpu_joints.recognize.icp import icp_multi
 from tpu_joints.recognize.matching import Correspondences
 from tpu_joints.recognize.obb import OBB, oriented_bounding_box
 
@@ -76,21 +76,30 @@ class DetectionResult(NamedTuple):
 
 
 def prepare_scene(
-    scene: Cloud, cfg: DetectionConfig, viewpoint: Optional[jnp.ndarray] = None
+    scene: Cloud, cfg: DetectionConfig,
+    viewpoint: Optional[jnp.ndarray] = None,
+    normals: Optional[jnp.ndarray] = None,
+    curvature: Optional[jnp.ndarray] = None,
 ) -> SceneFeatures:
-    """Normals → [region-growing crop] → keypoints → descriptors + LRFs."""
+    """Normals → [region-growing crop] → keypoints → descriptors + LRFs.
+
+    Pass ``normals``/``curvature`` to skip estimation — the organized-cloud
+    front end (``pipelines.ingest.ingest_organized``) already computed them
+    at stencil cost on the sensor grid (A9 fast path).
+    """
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
     with jax.named_scope("normals"):
-        if cfg.normal_anchors > 0:
-            from tpu_joints.features.normals import estimate_normals_anchored
+        if normals is None or curvature is None:
+            if cfg.normal_anchors > 0:
+                from tpu_joints.features.normals import estimate_normals_anchored
 
-            normals, curvature = estimate_normals_anchored(
-                scene, k=cfg.normal_k, anchors=cfg.normal_anchors,
-                viewpoint=viewpoint)
-        else:
-            normals, curvature = estimate_normals(scene, k=cfg.normal_k,
-                                                  viewpoint=viewpoint)
+                normals, curvature = estimate_normals_anchored(
+                    scene, k=cfg.normal_k, anchors=cfg.normal_anchors,
+                    viewpoint=viewpoint)
+            else:
+                normals, curvature = estimate_normals(scene, k=cfg.normal_k,
+                                                      viewpoint=viewpoint)
 
     if cfg.segment_scene:
         from tpu_joints.segment import cluster_curvature_filter, region_growing
@@ -153,6 +162,22 @@ def prepare_scene(
 
     return SceneFeatures(cloud=scene, normals=normals, keys=keys,
                          desc=desc, desc_valid=valid, rf=rf, rf_ok=rf_ok)
+
+
+def _model_at_capacity(bank: ModelBank, n: int):
+    """The full CAD cloud stride-subsampled/padded to exactly ``n`` lanes —
+    the same capacity as the per-view ICP clouds, so the full-model polish
+    reuses the candidate refinement's NN geometry (one kernel program per
+    executable; see detect_with_features)."""
+    Nm = bank.model_xyz.shape[0]
+    stride = max(1, Nm // n)
+    xyz = bank.model_xyz[::stride][:n]
+    mask = bank.model_mask[::stride][:n]
+    pad = n - xyz.shape[0]
+    if pad > 0:
+        xyz = jnp.concatenate([xyz, jnp.full((pad, 3), 1.0e6, xyz.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    return xyz, mask
 
 
 def match_bank(
@@ -237,20 +262,37 @@ def detect(
     bank: ModelBank,
     cfg: DetectionConfig = DetectionConfig(),
     viewpoint: Optional[jnp.ndarray] = None,
+    scene_normals: Optional[jnp.ndarray] = None,
+    scene_curvature: Optional[jnp.ndarray] = None,
 ) -> DetectionResult:
     """One scene → best 6D pose (plus all candidates).
 
-    Two jitted stages: feature extraction (pure XLA), then match/refine
-    (contains the Pallas k=1 ICP kernel). Besides measuring faster than the
-    fused megajit (196 vs 261 ms at bench scale), this keeps exactly one
-    Mosaic-kernel executable in the process — the current TPU runtime
-    intermittently faults re-executing a Mosaic program after a *different*
-    Mosaic program has run (A,B,A sequences). Set
-    TPU_JOINTS_DISABLE_PALLAS=1 when interleaving many custom-kernel
-    pipelines in one process.
+    Two jitted stages: feature extraction, then match/refine. Splitting
+    measures faster than the fused megajit (196 vs 261 ms at bench scale)
+    and keeps each Mosaic-kernel executable smaller.
+
+    The host loop retries the chain once on a TPU INVALID_ARGUMENT: that
+    recovers transient tunnel/runtime blips. It does NOT recover the known
+    Mosaic multi-program re-execution fault (that one poisons the whole
+    context — see neighbors.bruteforce._PALLAS_MAXK and
+    docs/PERFORMANCE.md), which is why the default kernel policy is the
+    empirically stable minimal set rather than Pallas-everywhere. The sync
+    the retry needs fetches one scalar the caller was about to fetch
+    anyway. Set TPU_JOINTS_DISABLE_PALLAS=1 to force pure-XLA kernels.
     """
-    feats = _prepare_jit(scene, cfg, viewpoint)
-    return _detect_features_jit(feats, bank, cfg)
+    def run():
+        feats = _prepare_jit(scene, cfg, viewpoint, scene_normals,
+                             scene_curvature)
+        out = _detect_features_jit(feats, bank, cfg)
+        jax.block_until_ready(out.fitness)  # surface async TPU faults here
+        return out
+
+    try:
+        return run()
+    except jax.errors.JaxRuntimeError as e:  # pragma: no cover - HW fault
+        if "INVALID_ARGUMENT" not in str(e):
+            raise
+        return run()
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -300,7 +342,8 @@ def detect_with_features(
             bank.icp_xyz[cand_views], bank.icp_mask[cand_views],
             feats.cloud, cand_init,
             iterations=cfg.icp_iterations,
-            max_corr_dist=cfg.icp_max_corr_dist, chunk=2048,
+            max_corr_dist=cfg.icp_max_corr_dist,
+            max_corr_start=cfg.icp_max_corr_start, chunk=2048,
         )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
@@ -323,32 +366,55 @@ def detect_with_features(
         cand_verified = cand_valid
         effective_fitness = cand_fitness
 
+    # Full-CAD polish + ranking for ALL candidates in one batched ICP (the
+    # reference's composed-pose score2 chain + monotone best tracking,
+    # SHOT_demo.cpp:641-686). Ranking by the matched view cloud's own
+    # fitness is blind to the chord cylinder's slide/spin symmetry — a
+    # mostly-chord view can outscore the correct one — so candidates are
+    # ranked by how the FULL model fits at the composed pose. The model is
+    # stride-subsampled to the views' icp capacity, which makes this call
+    # the SAME folded NN geometry (and thus the same Mosaic kernel program)
+    # as the candidate refinement above — one kernel program per
+    # executable, the empirically safe TPU runtime configuration.
+    has_model = jnp.any(bank.model_mask)
+    full_cands = jax.vmap(compose)(cand_poses, bank.poses[cand_views])
+    if cfg.select_by_model_fitness or cfg.final_icp_iterations > 0:
+        C = cand_poses.shape[0]
+        Ni = bank.icp_xyz.shape[1]
+        m_xyz, m_mask = _model_at_capacity(bank, Ni)
+        with jax.named_scope("full_model_polish"):
+            polished, model_fit = icp_multi(
+                jnp.broadcast_to(m_xyz, (C, Ni, 3)),
+                jnp.broadcast_to(m_mask, (C, Ni)),
+                feats.cloud, full_cands,
+                iterations=cfg.final_icp_iterations,  # 0 = rank only
+                max_corr_dist=cfg.icp_max_corr_dist, chunk=2048,
+            )
+        ranked = jnp.where(cand_valid & cand_verified, model_fit,
+                           jnp.float32(3e38))
+        if cfg.select_by_model_fitness:
+            effective_fitness = jnp.where(has_model, ranked, effective_fitness)
+    else:
+        polished, model_fit = full_cands, cand_fitness
+
     best = jnp.argmin(effective_fitness)
     view_idx = cand_views[best]
     view_pose = cand_poses[best]
     fitness = cand_fitness[best]
     # CAD model → scene: the view cloud is T_org(model), so compose with the
     # bank's ground-truth view pose (reference ``Full_pose_new = icp·hough·T_org``,
-    # SHOT_demo.cpp:656).
-    full_pose = compose(view_pose, bank.poses[view_idx])
-
+    # SHOT_demo.cpp:656); banks saved before the full-CAD field existed
+    # carry an empty model and keep the unpolished composition.
     if cfg.final_icp_iterations > 0:
-        # chained ICP on the FULL CAD at the composed pose — the reference's
-        # final 1-iteration refinements + score2 gate (SHOT_demo.cpp:641-686)
-        polished, full_fitness = icp(
-            bank.model_cloud(), feats.cloud, full_pose,
-            iterations=cfg.final_icp_iterations,
-            max_corr_dist=cfg.icp_max_corr_dist, chunk=1024,
-        )
-        # banks saved before the full-CAD field existed carry an empty model
-        has_model = jnp.any(bank.model_mask)
-        full_pose = jnp.where(has_model, polished, full_pose)
-        full_fitness = jnp.where(has_model, full_fitness, fitness)
+        full_pose = jnp.where(has_model, polished[best], full_cands[best])
+        full_fitness = jnp.where(has_model, model_fit[best], fitness)
         accepted = jnp.where(has_model,
                              full_fitness < cfg.final_accept_fitness,
                              fitness < cfg.accept_fitness)
     else:
-        full_fitness = fitness  # no extra NN pass when the polish is off
+        full_pose = full_cands[best]
+        full_fitness = jnp.where(has_model & cfg.select_by_model_fitness,
+                                 model_fit[best], fitness)
         accepted = (fitness < cfg.accept_fitness)
     accepted = accepted & cand_valid[best] & cand_verified[best]
 

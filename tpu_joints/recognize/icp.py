@@ -35,8 +35,29 @@ def _nn_correspondences(src_xyz, src_mask, dst_xyz, dst_mask, chunk):
     return d[:, 0], i[:, 0]
 
 
+def _corr_thresholds(iterations: int, max_corr_dist: float,
+                     max_corr_start: float) -> jnp.ndarray:
+    """Per-iteration squared correspondence gates.
+
+    A coarse-to-fine geometric schedule from ``max_corr_start`` down to
+    ``max_corr_dist``: early iterations keep a wide basin (a Hough
+    initialization can sit several cm off), late iterations trim
+    non-overlap/occluded correspondences, which otherwise drag partial-view
+    alignments along the cloud's near-symmetry modes (the chord cylinder's
+    axis). ``max_corr_start <= 0`` keeps PCL's constant gate.
+    """
+    end = jnp.float32(max_corr_dist)
+    if max_corr_start <= 0.0 or iterations <= 1:
+        d = jnp.full((iterations,), end)
+    else:
+        start = jnp.float32(max_corr_start)
+        t = jnp.arange(iterations, dtype=jnp.float32) / (iterations - 1)
+        d = start * (end / start) ** t
+    return d * d
+
+
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "chunk")
+    jax.jit, static_argnames=("iterations", "max_corr_start", "chunk")
 )
 def icp(
     source: Cloud,
@@ -44,6 +65,7 @@ def icp(
     init_T: jnp.ndarray,
     iterations: int = 100,
     max_corr_dist: float = _BIG,
+    max_corr_start: float = 0.0,
     chunk: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Align ``source`` to ``target`` starting from ``init_T``.
@@ -52,21 +74,23 @@ def icp(
     fitness float32 — PCL-style mean squared NN distance after the final
     iteration).
     """
-    max_sq = jnp.float32(max_corr_dist) * jnp.float32(max_corr_dist)
+    max_sqs = _corr_thresholds(iterations, max_corr_dist, max_corr_start)
 
-    def step(T, _):
+    def step(T, max_sq):
         moved = transform_points(source.xyz, T)
         dist_sq, nn = _nn_correspondences(moved, source.mask, target.xyz, target.mask, chunk)
         w = (source.mask & (dist_sq <= max_sq) & (dist_sq < _BIG)).astype(jnp.float32)
         delta = umeyama(moved, target.xyz[nn], w)
         return delta @ T, None
 
-    T, _ = jax.lax.scan(step, init_T.astype(jnp.float32), None, length=iterations)
+    T, _ = jax.lax.scan(step, init_T.astype(jnp.float32), max_sqs)
     fit = fitness_score(source, target, T, chunk=chunk)
     return T, fit
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "max_corr_start", "chunk")
+)
 def icp_multi(
     src_xyz: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -74,6 +98,7 @@ def icp_multi(
     init_T: jnp.ndarray,
     iterations: int = 30,
     max_corr_dist: float = _BIG,
+    max_corr_start: float = 0.0,
     chunk: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ICP for C candidate (source, init pose) pairs against one target.
@@ -90,13 +115,13 @@ def icp_multi(
     wants. Only the tiny per-candidate Umeyama solves are vmapped.
     """
     C, N, _ = src_xyz.shape
-    max_sq = jnp.float32(max_corr_dist) * jnp.float32(max_corr_dist)
+    max_sqs = _corr_thresholds(iterations, max_corr_dist, max_corr_start)
 
     def nn(moved_flat):
         d, i = knn(moved_flat, target.xyz, 1, source_mask=target.mask, chunk=chunk)
         return d[:, 0].reshape(C, N), i[:, 0].reshape(C, N)
 
-    def step(Ts, _):
+    def step(Ts, max_sq):
         moved = jnp.einsum("cij,cnj->cni", Ts[:, :3, :3], src_xyz,
                            precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
         dist_sq, nn_idx = nn(moved.reshape(C * N, 3))
@@ -105,7 +130,7 @@ def icp_multi(
         return jnp.einsum("cij,cjk->cik", deltas, Ts,
                           precision=jax.lax.Precision.HIGHEST), None
 
-    Ts, _ = jax.lax.scan(step, init_T.astype(jnp.float32), None, length=iterations)
+    Ts, _ = jax.lax.scan(step, init_T.astype(jnp.float32), max_sqs)
 
     moved = jnp.einsum("cij,cnj->cni", Ts[:, :3, :3], src_xyz,
                        precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
@@ -114,6 +139,34 @@ def icp_multi(
     w = ok.astype(jnp.float32)
     fit = jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
     return Ts, fit
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def fitness_multi(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: Cloud,
+    Ts: jnp.ndarray,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """PCL fitness of ONE source cloud at C poses, in one batched NN query.
+
+    Used to rank pose candidates by the reference's score2 semantics — the
+    fit of the FULL CAD model (``SHOT_demo.cpp:669-681``), which a
+    partial-view fitness can't provide: a mostly-chord view slides freely
+    along the chord cylinder's symmetry axis and outscores the correct
+    view. Pose axis folded into NN rows (never vmap the chunked top-k scan
+    — see :func:`icp_multi`).
+    """
+    C = Ts.shape[0]
+    N = src_xyz.shape[0]
+    moved = jnp.einsum("cij,nj->cni", Ts[:, :3, :3], src_xyz,
+                       precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
+    d, _ = knn(moved.reshape(C * N, 3), target.xyz, 1,
+               source_mask=target.mask, chunk=chunk)
+    dist_sq = d[:, 0].reshape(C, N)
+    w = (src_mask[None, :] & (dist_sq < _BIG)).astype(jnp.float32)
+    return jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -70,6 +70,68 @@ def depth_to_cloud(
     return xyz
 
 
+def raycast_cylinders(
+    cylinders,
+    T_model_to_cam: np.ndarray,
+    width: int = 640,
+    height: int = 480,
+    fov_deg: float = 57.0,
+) -> np.ndarray:
+    """Analytic dense depth of finite cylinders — a real-sensor stand-in.
+
+    ``FakeDepthCamera`` splats a point set, which leaves holes between
+    samples; a real depth sensor returns depth at *every* pixel covering a
+    surface (``ROS_server.cpp:2131-2164`` streams the full buffer). This
+    ray-caster produces that dense organized cloud exactly, for tests and
+    benchmarks of the organized ingestion path.
+
+    Args:
+      cylinders: iterable of (center[3], unit_axis[3], radius, half_length)
+        in model frame (lateral surfaces only, like the point generators).
+      T_model_to_cam: float32[4, 4].
+
+    Returns float32[H, W, 3] camera-frame organized cloud, NaN at misses.
+    """
+    xs, ys = pixel_scales(width, height, fov_deg)
+    d = np.stack(
+        [np.broadcast_to(xs[None, :], (height, width)),
+         np.broadcast_to(ys[:, None], (height, width)),
+         np.ones((height, width), np.float32)], axis=-1,
+    ).reshape(-1, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # camera→model: rays start at the camera origin
+    T = np.asarray(T_model_to_cam, np.float64)
+    Rmc = T[:3, :3].T
+    o_m = -T[:3, :3].T @ T[:3, 3]
+    d_m = d @ Rmc.T  # [P, 3]
+
+    best_t = np.full(d.shape[0], np.inf)
+    for (c, a, r, h) in cylinders:
+        c = np.asarray(c, np.float64)
+        a = np.asarray(a, np.float64)
+        a = a / np.linalg.norm(a)
+        oc = o_m - c
+        o_ax = oc @ a            # scalar: shared ray origin
+        d_ax = d_m @ a           # [P]
+        o_perp = oc - o_ax * a   # [3]
+        d_perp = d_m - np.outer(d_ax, a)
+        A = np.einsum("ij,ij->i", d_perp, d_perp)
+        B = 2.0 * (d_perp @ o_perp)
+        C = float(o_perp @ o_perp) - r * r
+        disc = B * B - 4.0 * A * C
+        hit = (disc >= 0) & (A > 1e-12)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        for sign in (-1.0, 1.0):
+            t = (-B + sign * sq) / np.maximum(2.0 * A, 1e-12)
+            z_ax = o_ax + t * d_ax
+            good = hit & (t > 1e-6) & (np.abs(z_ax) <= h)
+            best_t = np.where(good & (t < best_t), t, best_t)
+
+    cam_pts = d * best_t[:, None]
+    cam_pts[~np.isfinite(best_t)] = np.nan
+    return cam_pts.reshape(height, width, 3).astype(np.float32)
+
+
 class FakeDepthCamera:
     """Deterministic, repeatable scene source — the V-REP stand-in.
 
