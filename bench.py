@@ -58,8 +58,11 @@ def build_problem():
     from tpu_joints.modelbank import build_bank
     from tpu_joints.serve.depth import raycast_cylinders
 
-    W, H = (160, 120) if SMALL else (640, 480)
-    BLOCK = 4  # one working-set point per 4×4 pixel tile (≈7 mm at 1 m)
+    W, H = (320, 240) if SMALL else (640, 480)
+    # one working-set point per BLOCK×BLOCK pixel tile (≈7 mm at 1 m for the
+    # full frame; SMALL halves the image so BLOCK halves too, keeping the
+    # working-set density — and hence SHOT support occupancy — identical)
+    BLOCK = 2 if SMALL else 4
     cfg = DetectionConfig(
         descriptor="shot",
         descr_rad=0.06,
@@ -71,15 +74,20 @@ def build_problem():
         algorithm="hough",
         cg_size=0.05,
         cg_thresh=3.0,
-        icp_iterations=10,
+        icp_iterations=6,
+        icp_point_to_plane=True,
         icp_max_corr_dist=0.02,
         icp_max_corr_start=0.2,
-        final_icp_iterations=2,   # SHOT_demo's full-CAD polish + score2<0.006 gate
+        final_icp_iterations=6,   # SHOT_demo's full-CAD polish + score2<0.006 gate
+                                  # (point-to-plane: ≈ 0.0°/0.4 mm)
         max_candidates=4,
         max_instances_per_view=2,
-        scene_capacity=512 if SMALL else 4096,
-        scene_key_capacity=256 if SMALL else 1024,
-        k_max=32 if SMALL else 96,
+        scene_capacity=3072,
+        scene_key_capacity=256 if SMALL else 512,
+        # k_max must cover most of the descr_rad support at the working-set
+        # density (~200 points in a 60 mm sphere at 7 mm spacing): 32 was
+        # enough to truncate SHOT into noise and lose the detection
+        k_max=96,
     )
 
     # Synthetic pipe joint at the reference's physical scale (chord r=0.08 m,
@@ -115,6 +123,7 @@ def build_problem():
         # of similar density (see build_bank)
         surface_leaf=0.01,
         key_capacity=64 if SMALL else 256,
+        icp_capacity=1024 if SMALL else 2048,
     )
 
     # The raw sensor frame: dense analytic raycast of the joint's cylinders

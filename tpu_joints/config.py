@@ -62,6 +62,9 @@ class DetectionConfig:
     # value down to icp_max_corr_dist (wide basin early, occlusion-robust
     # trimming late — see recognize.icp._corr_thresholds)
     icp_max_corr_start: float = 0.0
+    # point-to-plane candidate refinement (PCL parity is point-to-point;
+    # plane converges in ~half the iterations on cylinder-dominated scenes)
+    icp_point_to_plane: bool = False
     max_candidates: int = 4           # instances refined by ICP
     accept_fitness: float = 0.001     # SHOT.cpp:187
     # rank candidates by the FULL CAD's fitness at the composed pose (the
@@ -73,6 +76,11 @@ class DetectionConfig:
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0
     final_accept_fitness: float = 0.006
+    # point-to-plane final polish (scene normals are already in hand): far
+    # faster convergence than point-to-point on near-symmetric cylinder
+    # geometry — the reference compensates with 100-iteration point-to-point
+    # runs (SHOT.cpp:180). False keeps strict PCL point-to-point semantics.
+    final_point_to_plane: bool = True
     # verification (SHOT_hypothesis.cpp:56-64)
     hv_enabled: bool = False
     hv_inlier_threshold: float = 0.005

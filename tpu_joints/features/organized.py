@@ -1,31 +1,44 @@
-"""Organized-cloud normals via integral images (SURVEY.md A9 fast path).
+"""Organized-cloud normals via box-filtered moment maps (SURVEY.md A9 fast path).
 
 The reference's real input is an organized 640×480 depth-sensor cloud
 (``ROS_server.cpp:2138``: datalen = resol_x·resol_y; ``crop_pcd.cpp:76-77``),
 yet every driver runs k-NN normal estimation over the unordered point set
 (``SHOT.cpp:302-308``) — paying a neighbor search the sensor grid already
 answers. PCL's own organized path (``IntegralImageNormalEstimation``,
-COVARIANCE_MATRIX mode) replaces the search with summed-area tables; that is
-the design replicated here, and it is the TPU-natural one: two cumulative
-sums and four shifted-slice adds per moment channel — pure stencil
-arithmetic, no gather, no top-k — O(H·W) regardless of window size.
+COVARIANCE_MATRIX mode) replaces the search with summed-area tables; this
+module replicates that design with a TPU-critical twist: moment *planes*.
+
+Two layout/precision lessons drive the implementation (measured on v5e):
+
+- **Channel-first planes, never trailing small dims.** TPU arrays tile
+  (8, 128) over the last two axes; a [H, W, 10] moment image wastes 92% of
+  every lane group and made the SAT version ~10× slower than the same math
+  on [10, H, W] planes whose lane axis is W = 640.
+- **Box filters, not summed-area tables.** f32 SATs over 307k pixels carry
+  ~2^18 of magnitude into the 4-corner difference, which is the same order
+  as the (mm²-scale) covariance entries being extracted — the smallest
+  eigenvector becomes noise on low-curvature surfaces. Separable
+  ``lax.reduce_window`` box sums only ever add (2r+1)² ≤ 121 values, so
+  they stay exact to ~2^-17 relative, and at stride 1 on [10, H, W] they
+  stream at HBM bandwidth (~1 ms for the full pyramid at 640×480).
 
 Per pixel: the covariance of the valid points in a (2r+1)² window is
-assembled from integral images of (count, x, y, z, xx, xy, xz, yy, yz, zz);
+assembled from window sums of (count, x, y, z, xx, xy, xz, yy, yz, zz);
 its smallest eigenvector (closed-form ``eigh3x3``) is the normal, oriented
 toward the viewpoint; curvature = λ0 / (λ0+λ1+λ2) exactly as the k-NN
 estimator defines it.
 
 Depth discontinuities: like PCL (setMaxDepthChangeFactor + its smoothing
 size map), the window shrinks per pixel to stay clear of depth edges — a
-depth-change map (3×3 z-range over ``depth_change``, or an invalid
-neighbor) is dilated ``half_window`` times (``lax.reduce_window`` max
-stencils) to get each pixel's Chebyshev distance to the nearest change, and
-the SAT lookup uses that per-pixel radius. Pixels touching a change keep no
-window at all and are reported invalid, exactly PCL's NaN-at-edges
-behavior. Measured on a rendered joint: interior pixels agree with the
-k-NN estimator ≥99% within 15°; without the shrink, windows smear across
-silhouettes.
+depth-change map (3×3 z-range over ``depth_change`` among *valid* pixels)
+is dilated ``half_window`` times (``lax.reduce_window`` max stencils) to
+get each pixel's Chebyshev distance to the nearest change, and the moment
+lookup uses that per-pixel radius. Invalid pixels are excluded by the
+count channel rather than treated as edges, so silhouettes against empty
+background keep their (one-sided) windows — those rim points carry real
+pose information for ICP and SHOT support. Pixels whose window collapses
+onto a valid-valid depth edge, or that gather < 5 points, are reported
+invalid (PCL's NaN-at-edges behavior).
 """
 from __future__ import annotations
 
@@ -37,54 +50,32 @@ import jax.numpy as jnp
 
 from tpu_joints.features.eigen3 import eigh3x3
 
-_HI = jax.lax.Precision.HIGHEST
 
-
-def _window_sums(channels: jnp.ndarray, r_px: jnp.ndarray,
-                 r_max: int) -> jnp.ndarray:
-    """Box-filter each channel with a per-pixel (2·r_px+1)² window via
-    summed-area tables.
-
-    channels: [H, W, C]; r_px: int32[H, W] per-pixel half-window in
-    [0, r_max]. Returns [H, W, C] window sums (clamped at image borders).
-
-    The per-pixel radius takes only r_max+1 values, so instead of a
-    per-pixel 4-corner SAT *gather* (12M gathered elements at 640×480 —
-    measured as the bulk of ingest latency) the sums are computed for each
-    static radius with four shifted *slices* of the SAT and combined with a
-    select chain — pure vector ops the TPU streams at bandwidth.
-    """
-    H, W, C = channels.shape
-    # SAT with a zero row/col in front: S[i, j] = sum(channels[:i, :j])
-    sat = jnp.cumsum(jnp.cumsum(channels, axis=0, dtype=jnp.float32), axis=1)
-    sat = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))
-
-    def sums_at(r: int) -> jnp.ndarray:
-        # pad so every shifted window is a static slice; SAT rows/cols are
-        # clamped by edge-replication (equivalent to window clamping)
-        satp = jnp.pad(sat, ((r, r), (r, r), (0, 0)), mode="edge")
-        s_hh = jax.lax.dynamic_slice(satp, (2 * r + 1, 2 * r + 1, 0), (H, W, C))
-        s_lh = jax.lax.dynamic_slice(satp, (0, 2 * r + 1, 0), (H, W, C))
-        s_hl = jax.lax.dynamic_slice(satp, (2 * r + 1, 0, 0), (H, W, C))
-        s_ll = jax.lax.dynamic_slice(satp, (0, 0, 0), (H, W, C))
-        return s_hh - s_lh - s_hl + s_ll
-
-    out = sums_at(0)
-    for r in range(1, r_max + 1):
-        out = jnp.where((r_px == r)[..., None], sums_at(r), out)
-    return out
+def _box_sums(planes: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Separable (2r+1)² box sum of [C, H, W] planes, SAME padding."""
+    if r == 0:
+        return planes
+    s = jax.lax.reduce_window(planes, 0.0, jax.lax.add,
+                              (1, 2 * r + 1, 1), (1, 1, 1), "SAME")
+    return jax.lax.reduce_window(s, 0.0, jax.lax.add,
+                                 (1, 1, 2 * r + 1), (1, 1, 1), "SAME")
 
 
 def _safe_radius(z: jnp.ndarray, valid: jnp.ndarray, r: int,
                  depth_change: float) -> jnp.ndarray:
-    """Per-pixel Chebyshev distance (−1, capped at r) to the nearest depth
-    change or invalid pixel — PCL's smoothing-size map."""
+    """Per-pixel Chebyshev distance (−1, capped at r) to the nearest
+    valid-valid depth change — PCL's smoothing-size map.
+
+    Invalid pixels do NOT count as changes (the count channel masks them out
+    of the moments); only a z-jump between two valid pixels shrinks the
+    window, so object rims against empty background keep full support.
+    """
     big = jnp.float32(3.0e38)
-    zv = jnp.where(valid, z, big)
     zmax = jax.lax.reduce_window(jnp.where(valid, z, -big), -big, jax.lax.max,
                                  (3, 3), (1, 1), "SAME")
-    zmin = jax.lax.reduce_window(zv, big, jax.lax.min, (3, 3), (1, 1), "SAME")
-    change = (zmax - zmin > jnp.float32(depth_change)) | ~valid
+    zmin = jax.lax.reduce_window(jnp.where(valid, z, big), big, jax.lax.min,
+                                 (3, 3), (1, 1), "SAME")
+    change = zmax - zmin > jnp.float32(depth_change)
     dist = jnp.where(change, 0, r + 1).astype(jnp.int32)
     reach = change.astype(jnp.float32)
     for s in range(1, r + 1):
@@ -92,6 +83,58 @@ def _safe_radius(z: jnp.ndarray, valid: jnp.ndarray, r: int,
                                       "SAME")
         dist = jnp.minimum(dist, jnp.where(reach > 0.5, s, r + 1))
     return jnp.clip(dist - 1, 0, r)
+
+
+def organized_moments(
+    xyz_img: jnp.ndarray,
+    valid: jnp.ndarray,
+    half_window: int,
+    depth_change: float = 0.02,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Radius-adaptive windowed moments of an organized cloud.
+
+    Args:
+      xyz_img: float32[H, W, 3]; invalid pixels may hold NaN/garbage.
+      valid: bool[H, W].
+      half_window: maximum window half-size r (the window is (2r+1)²).
+      depth_change: z jump (meters) treated as a discontinuity.
+
+    Returns:
+      moments float32[10, H, W] — per-pixel window sums of
+        (count, x, y, z, xx, xy, xz, yy, yz, zz) over that pixel's
+        edge-shrunken window;
+      r_px int32[H, W] — the per-pixel half-window actually used.
+    """
+    x = jnp.where(valid, xyz_img[..., 0], 0.0).astype(jnp.float32)
+    y = jnp.where(valid, xyz_img[..., 1], 0.0).astype(jnp.float32)
+    z = jnp.where(valid, xyz_img[..., 2], 0.0).astype(jnp.float32)
+    m = valid.astype(jnp.float32)
+    chans = jnp.stack(
+        [m, x, y, z, x * x, x * y, x * z, y * y, y * z, z * z], 0)
+    r_px = _safe_radius(z, valid, half_window, depth_change)
+    out = chans  # r == 0: the pixel alone (flagged invalid downstream)
+    for r in range(1, half_window + 1):
+        out = jnp.where((r_px == r)[None], _box_sums(chans, r), out)
+    return out, r_px
+
+
+def _cov_from_moments(S: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[10, ...] moment vectors → (cov [..., 3, 3], mean [..., 3], count [...])."""
+    n = jnp.maximum(S[0], 1.0)
+    mx, my, mz = S[1] / n, S[2] / n, S[3] / n
+    cxx = S[4] / n - mx * mx
+    cxy = S[5] / n - mx * my
+    cxz = S[6] / n - mx * mz
+    cyy = S[7] / n - my * my
+    cyz = S[8] / n - my * mz
+    czz = S[9] / n - mz * mz
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1),
+    ], axis=-2)
+    mean = jnp.stack([mx, my, mz], -1)
+    return cov, mean, S[0]
 
 
 @functools.partial(jax.jit, static_argnames=("half_window",))
@@ -120,33 +163,9 @@ def estimate_normals_organized(
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
     H, W, _ = xyz_img.shape
-    v = valid.astype(jnp.float32)[..., None]
-    p = jnp.where(valid[..., None], xyz_img, 0.0).astype(jnp.float32)
-    x, y, z = p[..., 0:1], p[..., 1:2], p[..., 2:3]
-    chans = jnp.concatenate(
-        [v, p, x * x, x * y, x * z, y * y, y * z, z * z], axis=-1
-    )  # [H, W, 10]
-    r_px = _safe_radius(p[..., 2], valid, half_window, depth_change)
-    s = _window_sums(chans, r_px, half_window)
-    n = jnp.maximum(s[..., 0], 1.0)
-    mean = s[..., 1:4] / n[..., None]
-    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
-    # covariance = E[pp^T] - mean mean^T
-    cxx = s[..., 4] / n - mx * mx
-    cxy = s[..., 5] / n - mx * my
-    cxz = s[..., 6] / n - mx * mz
-    cyy = s[..., 7] / n - my * my
-    cyz = s[..., 8] / n - my * mz
-    czz = s[..., 9] / n - mz * mz
-    cov = jnp.stack(
-        [
-            jnp.stack([cxx, cxy, cxz], -1),
-            jnp.stack([cxy, cyy, cyz], -1),
-            jnp.stack([cxz, cyz, czz], -1),
-        ],
-        axis=-2,
-    )  # [H, W, 3, 3]
-    vals, vecs = eigh3x3(cov.reshape(-1, 3, 3))
+    S, r_px = organized_moments(xyz_img, valid, half_window, depth_change)
+    cov, _, cnt = _cov_from_moments(S.reshape(10, H * W))
+    vals, vecs = eigh3x3(cov)
     normal = vecs[:, :, 2].reshape(H, W, 3)       # smallest-eigenvalue axis
     lam = jnp.maximum(vals, 0.0)
     tot = jnp.sum(lam, axis=1)
@@ -160,7 +179,7 @@ def estimate_normals_organized(
 
     # pixels whose window collapsed onto a depth edge have no estimate (PCL
     # leaves NaN there); require a real plane fit: >=1px window, >=5 points
-    ok = valid & (s[..., 0] >= 5.0) & (r_px >= 1)
+    ok = valid & (cnt.reshape(H, W) >= 5.0) & (r_px >= 1)
     normal = jnp.where(ok[..., None], normal, 0.0)
     curvature = jnp.where(ok, curvature, 0.0)
     return normal, curvature

@@ -264,6 +264,7 @@ def detect(
     viewpoint: Optional[jnp.ndarray] = None,
     scene_normals: Optional[jnp.ndarray] = None,
     scene_curvature: Optional[jnp.ndarray] = None,
+    sync: bool = False,
 ) -> DetectionResult:
     """One scene → best 6D pose (plus all candidates).
 
@@ -271,22 +272,29 @@ def detect(
     measures faster than the fused megajit (196 vs 261 ms at bench scale)
     and keeps each Mosaic-kernel executable smaller.
 
-    The host loop retries the chain once on a TPU INVALID_ARGUMENT: that
-    recovers transient tunnel/runtime blips. It does NOT recover the known
-    Mosaic multi-program re-execution fault (that one poisons the whole
-    context — see neighbors.bruteforce._PALLAS_MAXK and
-    docs/PERFORMANCE.md), which is why the default kernel policy is the
-    empirically stable minimal set rather than Pallas-everywhere. The sync
-    the retry needs fetches one scalar the caller was about to fetch
-    anyway. Set TPU_JOINTS_DISABLE_PALLAS=1 to force pure-XLA kernels.
+    ``sync=True`` blocks on the result inside the call and retries the
+    chain once on a TPU INVALID_ARGUMENT — that recovers transient
+    tunnel/runtime blips (the request server uses this; a latency-critical
+    caller should not: under a remote TPU attachment an extra
+    ``block_until_ready`` is a full control-channel roundtrip, measured
+    ~30 ms on v5e-via-tunnel, even though the same call on local devices is
+    free). It does NOT recover the known Mosaic multi-program re-execution
+    fault (that one poisons the whole context — see
+    neighbors.bruteforce._PALLAS_MAXK and docs/PERFORMANCE.md), which is
+    why the default kernel policy is the empirically stable minimal set
+    rather than Pallas-everywhere. Set TPU_JOINTS_DISABLE_PALLAS=1 to force
+    pure-XLA kernels.
     """
     def run():
         feats = _prepare_jit(scene, cfg, viewpoint, scene_normals,
                              scene_curvature)
         out = _detect_features_jit(feats, bank, cfg)
-        jax.block_until_ready(out.fitness)  # surface async TPU faults here
+        if sync:
+            jax.block_until_ready(out.fitness)  # surface async TPU faults
         return out
 
+    if not sync:
+        return run()
     try:
         return run()
     except jax.errors.JaxRuntimeError as e:  # pragma: no cover - HW fault
@@ -344,6 +352,8 @@ def detect_with_features(
             iterations=cfg.icp_iterations,
             max_corr_dist=cfg.icp_max_corr_dist,
             max_corr_start=cfg.icp_max_corr_start, chunk=2048,
+            point_to_plane=cfg.icp_point_to_plane,
+            target_normals=feats.normals if cfg.icp_point_to_plane else None,
         )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
@@ -388,7 +398,12 @@ def detect_with_features(
                 jnp.broadcast_to(m_mask, (C, Ni)),
                 feats.cloud, full_cands,
                 iterations=cfg.final_icp_iterations,  # 0 = rank only
-                max_corr_dist=cfg.icp_max_corr_dist, chunk=2048,
+                max_corr_dist=cfg.icp_max_corr_dist,
+                # wide basin early: a mostly-chord winner can sit several cm
+                # slid along the cylinder axis, beyond the final gate
+                max_corr_start=cfg.icp_max_corr_start, chunk=2048,
+                point_to_plane=cfg.final_point_to_plane,
+                target_normals=feats.normals,
             )
         ranked = jnp.where(cand_valid & cand_verified, model_fit,
                            jnp.float32(3e38))

@@ -46,29 +46,31 @@ def ingest_organized_blocks(
     viewpoint: Optional[jnp.ndarray] = None,
 ) -> Tuple[Cloud, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sort-free organized ingestion: one point per ``block``×``block`` pixel
-    tile.
+    tile, everything at full resolution expressed as plane-wise stencils.
 
     The sensor grid is already a spatial index — a pixel tile at depth z
     covers ≈ (block · 2·z·tan(fov/2)/W)² of surface, so per-tile selection
     IS a uniform downsample for bounded-depth scenes, without the two
-    307k-lane sorts the generic voxel path pays (measured: the sorts were
-    ~80% of ingest latency at 640×480). Selection is a dense reshape +
-    small-axis argmin (the valid pixel nearest the tile's mean position,
-    the UniformSampling criterion), so the whole front end at raw
-    resolution is ONE reshape + tiny reductions. Normals are then computed
-    only at the selected points: each keeps its (2·half_window+1)² pixel
-    window (a working-set-sized gather, ~0.5M elements — not a 307k-lane
-    image pass), neighbors are depth-gated against the center pixel
-    (slope-proportional: |Δz| < 0.02·chebyshev_px, PCL's
-    setMaxDepthChangeFactor semantics), and the covariance eigensolve runs
-    at working-set size. Without ``capacity`` the working set keeps all
-    (H/block)·(W/block) tile lanes; with it, occupied tiles are compacted
-    into a ``capacity``-lane cloud (one small tile-count sort) so
-    downstream NN stages don't pay for empty-tile padding.
+    307k-lane sorts the generic voxel path pays. TPU-critical layout: all
+    full-resolution work runs on [H, W] *planes* (lane axis = W) — per-tile
+    stats via strided ``reduce_window``, the winning pixel via a min-equality
+    match, and normals via the shared box-filtered moment maps
+    (``features.organized.organized_moments``). The only gathers are
+    O(capacity): 10 moment scalars per selected point. The earlier
+    formulation (reshape/transpose to [tiles, block², 3] + per-point window
+    gathers) paid ~42× lane padding on the trailing dim and random-gather
+    serialization — 36 ms at 640×480 vs ~5 ms for this one (v5e).
+
+    Normals match the k-NN estimator's definition (covariance smallest
+    eigenvector, viewpoint-oriented, curvature λ0/Σλ) with PCL's
+    integral-image edge semantics: windows shrink to stay clear of
+    valid-valid depth jumps, invalid pixels are excluded by the count
+    channel (see ``organized_moments``).
 
     Returns (scene Cloud, normals, curvature, n_selected).
     """
     from tpu_joints.features.eigen3 import eigh3x3
+    from tpu_joints.features.organized import _cov_from_moments, organized_moments
 
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
@@ -77,64 +79,57 @@ def ingest_organized_blocks(
     Hb, Wb = H // block, W // block
 
     mask = valid
-    p = jnp.where(mask[..., None], xyz_img, SENTINEL).astype(jnp.float32)
+    x = jnp.where(mask, xyz_img[..., 0], SENTINEL).astype(jnp.float32)
+    y = jnp.where(mask, xyz_img[..., 1], SENTINEL).astype(jnp.float32)
+    z = jnp.where(mask, xyz_img[..., 2], SENTINEL).astype(jnp.float32)
     if crop_lo is not None and crop_hi is not None:
-        inside = jnp.all((p >= crop_lo) & (p <= crop_hi), axis=-1)
+        inside = ((x >= crop_lo[0]) & (x <= crop_hi[0])
+                  & (y >= crop_lo[1]) & (y <= crop_hi[1])
+                  & (z >= crop_lo[2]) & (z <= crop_hi[2]))
         mask = mask & inside
-        p = jnp.where(mask[..., None], p, SENTINEL)
+        x = jnp.where(mask, x, SENTINEL)
+        y = jnp.where(mask, y, SENTINEL)
+        z = jnp.where(mask, z, SENTINEL)
 
-    # --- per-tile selection (dense reshape + small-axis reductions) ------
-    txyz = (p.reshape(Hb, block, Wb, block, 3)
-             .transpose(0, 2, 1, 3, 4)
-             .reshape(Hb * Wb, block * block, 3))
-    tm = (mask.reshape(Hb, block, Wb, block)
-              .transpose(0, 2, 1, 3)
-              .reshape(Hb * Wb, block * block))
-    cnt = jnp.sum(tm.astype(jnp.float32), axis=1)
-    mean = jnp.sum(jnp.where(tm[..., None], txyz, 0.0), axis=1) / \
-        jnp.maximum(cnt, 1.0)[:, None]
-    d2 = jnp.sum((txyz - mean[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(tm, d2, jnp.float32(3e38))
-    best = jnp.argmin(d2, axis=1)
-    xyz = jnp.take_along_axis(txyz, best[:, None, None], 1)[:, 0, :]
-    got = cnt > 0
-    xyz = jnp.where(got[:, None], xyz, SENTINEL)
-    # flat pixel index of each winner (tile/lane arithmetic, no search)
-    tile = jnp.arange(Hb * Wb, dtype=jnp.int32)
-    bi, bj = tile // Wb, tile % Wb
-    di, dj = best.astype(jnp.int32) // block, best.astype(jnp.int32) % block
-    pix = (bi * block + di) * W + (bj * block + dj)
+    # --- per-tile selection (plane reduce_windows, stride = block) --------
+    m = mask.astype(jnp.float32)
+
+    def rw(a, init, op):
+        return jax.lax.reduce_window(a, init, op, (block, block),
+                                     (block, block), "VALID")
+
+    cnt = rw(m, 0.0, jax.lax.add)                              # [Hb, Wb]
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    mx = rw(jnp.where(mask, x, 0.0), 0.0, jax.lax.add) * inv
+    my = rw(jnp.where(mask, y, 0.0), 0.0, jax.lax.add) * inv
+    mz = rw(jnp.where(mask, z, 0.0), 0.0, jax.lax.add) * inv
+    up = lambda a: jnp.repeat(jnp.repeat(a, block, 0), block, 1)
+    d2 = (x - up(mx)) ** 2 + (y - up(my)) ** 2 + (z - up(mz)) ** 2
+    d2 = jnp.where(mask, d2, jnp.float32(3e38))
+    tmin = rw(d2, jnp.float32(3e38), jax.lax.min)
+    # the UniformSampling winner: the valid pixel nearest the tile mean
+    # (ties broken toward the larger flat pixel index)
+    winner = (d2 <= up(tmin)) & mask
+    pixidx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    best_pix = rw(jnp.where(winner, pixidx, -1).astype(jnp.float32),
+                  jnp.float32(-1), jax.lax.max).astype(jnp.int32)
+    got = (cnt > 0).reshape(Hb * Wb)
+    pix = jnp.maximum(best_pix.reshape(Hb * Wb), 0)
 
     n_selected = jnp.sum(got.astype(jnp.int32))
     if capacity is not None and capacity < Hb * Wb:
         idx, keep = compact_indices(got, capacity)
-        xyz = jnp.where(keep[:, None], xyz[idx], SENTINEL)
         pix = pix[idx]
         got = keep
 
-    # --- normals at selected points only ---------------------------------
-    r = half_window
-    offs_i = jnp.arange(-r, r + 1, dtype=jnp.int32)
-    cheb = jnp.maximum(jnp.abs(offs_i[:, None]), jnp.abs(offs_i[None, :]))
-    cheb = cheb.reshape(-1).astype(jnp.float32)           # [(2r+1)²]
+    # --- normals at selected points from the shared moment maps ----------
+    S_img, r_px = organized_moments(
+        jnp.stack([x, y, z], -1), mask, half_window)
     rows = jnp.clip(pix // W, 0, H - 1)
     cols = pix % W
-    wr = jnp.clip(rows[:, None] + offs_i[None, :], 0, H - 1)   # [M, 2r+1]
-    wc = jnp.clip(cols[:, None] + offs_i[None, :], 0, W - 1)
-    nidx = (wr[:, :, None] * W + wc[:, None, :]).reshape(xyz.shape[0], -1)
-    flat_p = p.reshape(H * W, 3)
-    flat_m = mask.reshape(H * W)
-    nxyz = flat_p[nidx]                                    # [M, K, 3]
-    nval = flat_m[nidx]
-    zc = xyz[:, 2]
-    # slope-proportional depth gate (PCL max depth change, per pixel step)
-    nval = nval & (jnp.abs(nxyz[..., 2] - zc[:, None])
-                   <= 0.02 * jnp.maximum(cheb, 1.0)[None, :])
-    wgt = nval.astype(jnp.float32)
-    wn = jnp.maximum(jnp.sum(wgt, axis=1), 1.0)
-    wmean = jnp.sum(nxyz * wgt[..., None], axis=1) / wn[:, None]
-    cen = (nxyz - wmean[:, None, :]) * wgt[..., None]
-    cov = jnp.einsum("mki,mkj->mij", cen, cen)
+    S = S_img[:, rows, cols]                                   # [10, M]
+    cov, _, n_support = _cov_from_moments(S)
+    xyz = jnp.stack([x[rows, cols], y[rows, cols], z[rows, cols]], -1)
     vals, vecs = eigh3x3(cov)
     normals = vecs[..., :, 2]
     to_vp = viewpoint[None, :] - xyz
@@ -143,7 +138,7 @@ def ingest_organized_blocks(
     lam = jnp.maximum(vals, 0.0)
     tot = jnp.sum(lam, axis=1)
     curvature = jnp.where(tot > 1e-20, lam[:, 2] / jnp.maximum(tot, 1e-20), 0.0)
-    ok_n = got & (jnp.sum(wgt, axis=1) >= 5)
+    ok_n = got & (n_support >= 5.0) & (r_px[rows, cols] >= 1)
     normals = jnp.where(ok_n[:, None], normals, 0.0)
     curvature = jnp.where(ok_n, curvature, 0.0)
     got = ok_n

@@ -88,8 +88,52 @@ def icp(
     return T, fit
 
 
+def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
+    """exp([ω]×) for [..., 3] rotation vectors (series-guarded at θ→0)."""
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    small = theta[..., 0] < 1e-6
+    t = jnp.maximum(theta, 1e-20)
+    A = jnp.where(small, 1.0 - theta[..., 0] ** 2 / 6.0,
+                  jnp.sin(t[..., 0]) / t[..., 0])
+    B = jnp.where(small, 0.5 - theta[..., 0] ** 2 / 24.0,
+                  (1.0 - jnp.cos(t[..., 0])) / (t[..., 0] ** 2))
+    wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
+    zero = jnp.zeros_like(wx)
+    K = jnp.stack([
+        jnp.stack([zero, -wz, wy], -1),
+        jnp.stack([wz, zero, -wx], -1),
+        jnp.stack([-wy, wx, zero], -1),
+    ], -2)
+    I = jnp.eye(3, dtype=omega.dtype)
+    return I + A[..., None, None] * K + B[..., None, None] * (K @ K)
+
+
+def _plane_delta(moved, q, n, w):
+    """Linearized point-to-plane update for one candidate.
+
+    Minimizes Σ w (n·(R p + t − q))² over a twist ξ = (ω, t); rows of the
+    normal equations are a = [p×n, n], b = n·(q − p). A tiny Levenberg
+    damping keeps the 6×6 solve sane when the correspondences under-constrain
+    a direction (e.g. all-chord views: sliding along the cylinder axis is
+    genuinely free and should produce a zero step there, not noise).
+    """
+    r = jnp.sum(n * (q - moved), axis=-1)                     # [N]
+    a = jnp.concatenate([jnp.cross(moved, n), n], axis=-1)    # [N, 6]
+    wa = a * w[:, None]
+    H = wa.T @ a                                              # [6, 6]
+    g = wa.T @ r                                              # [6]
+    damp = 1e-6 * jnp.trace(H) / 6.0 + 1e-12
+    xi = jnp.linalg.solve(H + damp * jnp.eye(6, dtype=H.dtype), g)
+    R = _rodrigues(xi[:3])
+    delta = jnp.eye(4, dtype=moved.dtype)
+    delta = delta.at[:3, :3].set(R)
+    delta = delta.at[:3, 3].set(xi[3:])
+    return delta
+
+
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "max_corr_start", "chunk")
+    jax.jit,
+    static_argnames=("iterations", "max_corr_start", "chunk", "point_to_plane"),
 )
 def icp_multi(
     src_xyz: jnp.ndarray,
@@ -100,10 +144,23 @@ def icp_multi(
     max_corr_dist: float = _BIG,
     max_corr_start: float = 0.0,
     chunk: int = 2048,
+    point_to_plane: bool = False,
+    target_normals: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ICP for C candidate (source, init pose) pairs against one target.
 
     Args: src_xyz float32[C, N, 3], src_mask bool[C, N], init_T [C, 4, 4].
+    With ``point_to_plane=True`` (requires ``target_normals`` float32[Nt, 3]
+    aligned with ``target``'s lanes), each step solves the linearized
+    point-to-plane system instead of Umeyama — it converges in a few
+    iterations where point-to-point crawls (partial overlap + near-symmetric
+    cylinders: the restoring force lives in a small minority of
+    correspondences, so point-to-point's step shrinks by that minority
+    fraction per iteration, while point-to-plane solves for the whole rigid
+    motion at once). The reference is point-to-point everywhere (PCL
+    ``IterativeClosestPoint``); the plane variant is used for the full-CAD
+    polish where the reference compensates with 100 iterations
+    (``SHOT.cpp:180``).
     Returns (T [C, 4, 4], fitness [C]).
 
     TPU-critical design note: the candidate axis is folded into the NN
@@ -112,10 +169,12 @@ def icp_multi(
     top-k scan makes XLA lower it ~90× slower (measured on v5e: 11.2 s vs
     127 ms for the same NN work); batching rows keeps the scan unbatched
     and simply makes the MXU matmuls larger — exactly what the hardware
-    wants. Only the tiny per-candidate Umeyama solves are vmapped.
+    wants. Only the tiny per-candidate solves are vmapped.
     """
     C, N, _ = src_xyz.shape
     max_sqs = _corr_thresholds(iterations, max_corr_dist, max_corr_start)
+    if point_to_plane and target_normals is None:
+        raise ValueError("point_to_plane=True requires target_normals")
 
     def nn(moved_flat):
         d, i = knn(moved_flat, target.xyz, 1, source_mask=target.mask, chunk=chunk)
@@ -126,7 +185,11 @@ def icp_multi(
                            precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
         dist_sq, nn_idx = nn(moved.reshape(C * N, 3))
         w = (src_mask & (dist_sq <= max_sq) & (dist_sq < _BIG)).astype(jnp.float32)
-        deltas = jax.vmap(umeyama)(moved, target.xyz[nn_idx], w)
+        if point_to_plane:
+            deltas = jax.vmap(_plane_delta)(
+                moved, target.xyz[nn_idx], target_normals[nn_idx], w)
+        else:
+            deltas = jax.vmap(umeyama)(moved, target.xyz[nn_idx], w)
         return jnp.einsum("cij,cjk->cik", deltas, Ts,
                           precision=jax.lax.Precision.HIGHEST), None
 

@@ -132,7 +132,7 @@ class DetectionService:
 
         with self._lock:
             t0 = time.perf_counter()
-            res = detect(scene, self.bank, self.cfg)
+            res = detect(scene, self.bank, self.cfg, sync=True)
             jax.block_until_ready(res.full_pose)
             latency_ms = (time.perf_counter() - t0) * 1000.0
             self.n_requests += 1
