@@ -38,6 +38,10 @@ TARGET_MS = 50.0
 # BENCH_SMALL=1 shrinks the problem for CI/CPU smoke-validation of the
 # script itself; headline numbers come from the full-size TPU run.
 SMALL = os.environ.get("BENCH_SMALL") == "1"
+# BENCH_SEGMENT=1 adds the reference's region-growing scene crop to the
+# timed chain (SHOT_demo.cpp:282-400) and a workshop-table rectangle to the
+# raycast scene, so the segmentation stage is timed at full sensor scale.
+SEGMENT = os.environ.get("BENCH_SEGMENT") == "1"
 
 
 def _bench_pose() -> np.ndarray:
@@ -80,10 +84,26 @@ def build_problem():
         icp_max_corr_start=0.2,
         final_icp_iterations=6,   # SHOT_demo's full-CAD polish + score2<0.006 gate
                                   # (point-to-plane: ≈ 0.0°/0.4 mm)
-        max_candidates=4,
+        # 8 ranked candidates: SHOT frames on smooth cylinders are
+        # sign-fragile, so the true pose is not always in the top-4 Hough
+        # peaks — the full-CAD ranking picks it out of a wider field for
+        # a few ms of extra folded-row ICP work
+        max_candidates=8 if not SEGMENT else 16,
         max_instances_per_view=2,
-        scene_capacity=3072,
-        scene_key_capacity=256 if SMALL else 512,
+        scene_capacity=3072 if not SEGMENT else 8192,
+        scene_key_capacity=(512 if SMALL else 1024) if SEGMENT else (256 if SMALL else 512),
+        # SEGMENT: the surviving table floods the vote ranking — the true
+        # pose can sit deep in the peak list (measured rank 5 at small
+        # scale), so the ranked-candidate field and key budget both widen
+        segment_scene=SEGMENT,
+        remove_plane=SEGMENT,   # segmentation.cpp:94-110 table removal
+        # region-growing gates at this sensor's working density (~7 mm at
+        # 1 m): stub adjacent-normal steps ≈ 8°, so 7° would shatter it;
+        # cylinder window curvature ≈ 0.02-0.05, so 0.04 would drop the
+        # stub — the reference's values assume its denser close-range scans
+        rg_smoothness_deg=12.0,
+        cluster_max_curvature=0.08,
+        rg_max_edge=0.05,
         # k_max must cover most of the descr_rad support at the working-set
         # density (~200 points in a 60 mm sphere at 7 mm spacing): 32 was
         # enough to truncate SHOT into noise and lose the detection
@@ -134,7 +154,17 @@ def build_problem():
         (np.array([0.0, 0.0, 0.23]),
          np.array([np.sin(a30), 0.0, np.cos(a30)]), 0.05, 0.15),
     ]
-    xyz_img = raycast_cylinders(cylinders, T_pose, width=W, height=H)
+    rects = []
+    if SEGMENT:
+        # workshop-table rectangle behind the joint (model +z points away
+        # from the camera under _bench_pose, so "behind" is past the stub
+        # tip at z=0.38): survives the curvature filter like the
+        # reference's bench top, so the crop + matching must cope with it
+        rects.append((np.array([0.0, 0.0, 0.45]),
+                      np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                      0.35, 0.35))
+    xyz_img = raycast_cylinders(cylinders, T_pose, width=W, height=H,
+                                rects=rects)
     valid = np.isfinite(xyz_img).all(axis=-1)
     return np.nan_to_num(xyz_img), valid, bank, cfg, BLOCK, T_pose
 
@@ -150,10 +180,17 @@ def main():
     valid = jnp.asarray(valid_h)
     half_window = 3 if SMALL else 5
 
+    # the reference crops the work volume before anything else
+    # (crop_pcd.cpp:109-127 PassThrough chain); the SEGMENT variant keeps
+    # that order — crop box spans the joint plus the near table strip, so
+    # region growing still has real clutter to reason about
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32) if SEGMENT else None
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32) if SEGMENT else None
+
     def run():
         scene, normals, curvature, n_sel = ingest_organized_blocks(
             xyz_img, valid, block=block, half_window=half_window,
-            capacity=cfg.scene_capacity)
+            capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi)
         return detect(scene, bank, cfg, scene_normals=normals,
                       scene_curvature=curvature), n_sel
 
@@ -171,7 +208,7 @@ def main():
     ms = float(np.median(times))
 
     print(json.dumps({
-        "metric": "scene_latency",
+        "metric": "scene_latency" if not SEGMENT else "scene_latency_segmented",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 3),

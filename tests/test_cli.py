@@ -53,6 +53,12 @@ def test_cli_bank_and_detect(workdir, capsys):
     assert "accepted=" in out and "fitness=" in out
     assert (workdir / "out.png").exists()
 
+    # -c draws the reference's correspondence-line overlay (SHOT.cpp:524-581)
+    cli(["detect", str(scene), "--bank", str(workdir / "bank.npz"), "-c",
+                   "--png", str(workdir / "corr.png")] + COMMON)
+    assert (workdir / "corr.png").exists()
+    assert (workdir / "corr.png").stat().st_size > 10_000
+
 
 def test_cli_scenes_loop(workdir, capsys):
     views = sorted((workdir / "views").glob("*.pcd"))[:2]

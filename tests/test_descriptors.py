@@ -66,10 +66,19 @@ def test_shot_rigid_invariance(rng):
     assert close.sum() > 10
     diffs = np.linalg.norm(da[close] - db[pair[close]], axis=1)
     # descriptors are unit vectors; rigid motion should barely change them.
-    # A minority of keypoints sit on locally symmetric cylinder patches where
-    # the LRF sign vote is genuinely ambiguous (PCL flips there too).
+    # The sign vote is PCL's unweighted >= 0 count (each support point one
+    # vote), which bounds any f32 reclassification to ±1 vote — measured
+    # 94% of keypoints invariant on this all-cylinder scene, vs 77% for a
+    # weighted count. The remaining flips sit on genuinely symmetric
+    # patches where no sign signal exists (PCL flips there too); crucially
+    # the >= 0 bias keeps bank and scene frames AGREEING for matched
+    # (same-orientation) views, which is what Hough voting needs — a
+    # fully-equivariant geometric criterion scores 100% here but ties the
+    # sign to sampling noise and loses the full-bench detection.
     assert np.median(diffs) < 0.05
-    assert (diffs < 0.3).mean() > 0.7
+    assert (diffs < 0.1).mean() >= 0.90, (
+        f"only {(diffs < 0.1).mean():.0%} of descriptors survived the "
+        f"rigid motion (worst {diffs.max():.2f})")
 
 
 def test_shot_lrf_orthonormal(rng):

@@ -107,3 +107,38 @@ def test_detect_batch_sharded_matches_single(mesh):
         np.testing.assert_allclose(
             float(out.fitness[b]), float(ref.fitness), rtol=1e-4, atol=1e-8
         )
+
+
+def test_ring_icp_matches_single_device(mesh1d):
+    """Sharded ICP (VERDICT item 9): ring-NN correspondences + psum'd
+    Umeyama moments reproduce the single-device ICP to float tolerance."""
+    from tpu_joints.distributed import ring_icp
+    from tpu_joints.recognize.icp import icp
+
+    rng = np.random.default_rng(11)
+    model, _ = joint_points(rng, n_chord=600, n_stub=360)
+    # a modest misalignment: the oracle and the ring must walk the same path
+    ang = np.radians(8.0)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    scene_xyz = (model @ R.T + np.array([0.02, -0.015, 0.01], np.float32))
+
+    M = 960  # divisible by 8
+    src = jnp.asarray(model[:M])
+    src_mask = jnp.ones((M,), bool)
+    tgt = jnp.asarray(scene_xyz[:M])
+    tgt_mask = jnp.ones((M,), bool)
+
+    T_ring, fit_ring = ring_icp(src, src_mask, tgt, tgt_mask, mesh1d,
+                                axis="model", iterations=12,
+                                max_corr_dist=0.1)
+    src_cloud = make_cloud(np.asarray(src), capacity=M)
+    target_cloud = make_cloud(np.asarray(tgt), capacity=M)
+    T_ref, fit_ref = icp(src_cloud, target_cloud, jnp.eye(4),
+                         iterations=12, max_corr_dist=0.1)
+
+    np.testing.assert_allclose(np.asarray(T_ring), np.asarray(T_ref),
+                               atol=5e-4)
+    assert abs(float(fit_ring) - float(fit_ref)) < 1e-6
+    # and it actually recovered the rigid motion
+    np.testing.assert_allclose(np.asarray(T_ring)[:3, :3], R, atol=5e-3)

@@ -42,3 +42,32 @@ def test_detect_parts_picks_right_part(rng):
         f"chord fit={float(out.per_part['chord'].fitness)}"
     )
     assert float(out.result.fitness) < float(out.per_part["chord"].fitness)
+
+
+def test_detect_parts_shares_scene_features(rng, monkeypatch):
+    """The part axis is batched (VERDICT item 8): scene features are
+    extracted once and every part runs inside ONE device program — the
+    multi-part path must not re-run prepare_scene per part."""
+    import tpu_joints.pipelines.multi as multi
+
+    chord, _ = cylinder_points(rng, radius=0.05, height=0.6, n=700, axis="x")
+    stub, _ = cylinder_points(rng, radius=0.12, height=0.15, n=700, axis="z")
+    banks = {"chord": _bank(chord), "stub": _bank(stub)}
+    views, poses, _ = render_views(stub, level=0, resolution=96)
+    v = int(np.argmax([w.shape[0] for w in views]))
+    scene = make_cloud(views[v][:1024], capacity=CFG.scene_capacity)
+
+    prepare_calls = []
+    real_prepare = multi._prepare_jit
+    monkeypatch.setattr(
+        multi, "_prepare_jit",
+        lambda *a, **k: (prepare_calls.append(1), real_prepare(*a, **k))[1])
+    device_calls = []
+    real_device = multi._detect_parts_device
+    monkeypatch.setattr(
+        multi, "_detect_parts_device",
+        lambda *a, **k: (device_calls.append(1), real_device(*a, **k))[1])
+
+    detect_parts(scene, banks, CFG)
+    assert len(prepare_calls) == 1, "features must be extracted once"
+    assert len(device_calls) == 1, "all parts must share one device call"

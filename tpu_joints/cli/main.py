@@ -250,10 +250,38 @@ def cmd_detect(args) -> None:
         bank = banks[part]
         v = int(res.view_idx)
         aligned = np.asarray(transform_points(bank.view_xyz[v], res.view_pose))
+        corr_lines = None
+        if getattr(args, "show_correspondences", False):
+            # the reference's -c view (SHOT.cpp:524-581): green lines from
+            # each matched model keypoint (at the detected pose) to its
+            # scene keypoint
+            corr_lines = _correspondence_lines(scene, bank, v, res, cfg)
         plot_detection(args.png, np.asarray(scene.xyz), np.asarray(scene.mask),
                        instances=[(aligned, np.asarray(bank.view_mask[v]))],
-                       obb=res.obb, title=os.path.basename(args.scene))
+                       obb=res.obb, corr_lines=corr_lines,
+                       title=os.path.basename(args.scene))
         print(f"wrote {args.png}")
+
+
+def _correspondence_lines(scene, bank, view, res, cfg, max_lines=200):
+    """Recompute the winning view's correspondences for the -c overlay
+    (the pipeline returns poses, not per-pair indices — a viz-only path
+    can afford one extra feature pass)."""
+    from tpu_joints.core.transforms import transform_points
+    from tpu_joints.pipelines.detect import match_bank, prepare_scene
+
+    feats = prepare_scene(scene, cfg)
+    sub_desc = bank.desc[view:view + 1]
+    sub_valid = bank.key_valid[view:view + 1]
+    corrs = match_bank(feats.desc, feats.desc_valid, sub_desc, sub_valid, cfg)
+    ok = np.asarray(corrs.valid[0])
+    midx = np.asarray(corrs.model_idx[0])[ok]
+    skeys = np.asarray(feats.keys.xyz)[ok]
+    mkeys = np.asarray(transform_points(bank.key_xyz[view], res.view_pose))[midx]
+    lines = np.stack([mkeys, skeys], axis=1)  # [L, 2, 3]
+    if lines.shape[0] > max_lines:
+        lines = lines[:: lines.shape[0] // max_lines + 1]
+    return lines
 
 
 def cmd_scenes(args) -> None:

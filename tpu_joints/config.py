@@ -41,6 +41,9 @@ class DetectionConfig:
     iss_gamma_32: float = 0.975
     # normals
     normal_k: int = 40                # SHOT.cpp:302-308 (k=40)
+    # > 0: radius-support normals instead of kNN (FPFH_demo.cpp:405-428
+    # pairs FPFH with setRadiusSearch(0.15) normals); uses k_max lanes
+    normal_radius: float = 0.0
     # 0 = exact all-points kNN normals; >0 = anchor-subsampled normals with
     # nearest-anchor propagation (big-cloud fast path; see
     # features.normals.estimate_normals_anchored)
@@ -86,11 +89,23 @@ class DetectionConfig:
     hv_inlier_threshold: float = 0.005
     hv_occlusion_threshold: float = 0.001
     hv_regularizer: float = 0.001
+    # dominant-plane removal before clustering (segmentation.cpp:94-110:
+    # RANSAC plane from normals, then ExtractIndices drops the inliers —
+    # the reference's answer to the workshop table under the joint)
+    remove_plane: bool = False
+    plane_dist: float = 0.02          # segmentation.cpp:88 (0.03 at range)
+    # only drop a plane that actually dominates the scene; a best-fit
+    # tangent patch on the chord must never be removed
+    plane_min_fraction: float = 0.15
     # segmentation preprocessing (SHOT_demo.cpp:282-400)
     segment_scene: bool = False
     rg_smoothness_deg: float = 7.0
     rg_curvature: float = 7.0
     rg_min_cluster: int = 50
+    # max region-growing edge length (meters): caps the kNN graph so
+    # disjoint structures can't bridge (see segment.region_growing); the
+    # default (unbounded) matches PCL semantics at sensor density
+    rg_max_edge: float = 3.0e38
     cluster_max_curvature: float = 0.04
     # capacities (static shapes; pad-to-bucket)
     scene_capacity: int = 16384
@@ -128,6 +143,7 @@ FPFH_DEMO = DetectionConfig(
     # FPFH_demo.cpp: FPFH r=0.15, VoxelGrid 0.03/0.02, ratio τ ≤ 1,
     # region-growing crop, chained full-CAD ICP accept < 0.006
     descriptor="fpfh", descr_rad=0.15, scene_ss=0.03, model_ss=0.02,
+    normal_radius=0.15,               # FPFH_demo.cpp:405-428 radius normals
     rf_frames="board",                # FPFH_demo pairs FPFH with BOARD (:548-585)
     match_mode="ratio", ratio=1.0, segment_scene=True,
     accept_fitness=0.006, final_icp_iterations=3,

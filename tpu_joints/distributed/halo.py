@@ -94,6 +94,113 @@ def ring_knn(
     return fn(query, source, source_mask)
 
 
+def _ring_nn1_with_coords(q, s, m, axis, n_dev):
+    """Top-1 NN of local queries against the full ring of source blocks,
+    carrying the matched COORDINATES through the ring (each device only
+    ever holds one source block, so the winner's xyz must travel with the
+    running best — indices alone would dangle)."""
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+    best_d = jnp.full((q.shape[0],), INF)
+    best_q = jnp.zeros((q.shape[0], 3), q.dtype)
+    s_cur, m_cur = s, m
+    for step in range(n_dev):
+        s2 = jnp.sum(s_cur * s_cur, axis=-1)
+        d = q2 + s2[None, :] - 2.0 * jnp.dot(
+            q, s_cur.T, precision=jax.lax.Precision.HIGHEST)
+        d = jnp.where(m_cur[None, :], jnp.maximum(d, 0.0), INF)
+        j = jnp.argmin(d, axis=1)
+        dj = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        closer = dj < best_d
+        best_d = jnp.where(closer, dj, best_d)
+        best_q = jnp.where(closer[:, None], s_cur[j], best_q)
+        if step + 1 < n_dev:
+            s_cur = jax.lax.ppermute(s_cur, axis, perm)
+            m_cur = jax.lax.ppermute(m_cur, axis, perm)
+    return best_d, best_q
+
+
+def ring_icp(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    iterations: int = 10,
+    max_corr_dist: float = 3.0e38,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Point-to-point ICP with BOTH clouds sharded point-wise over ``axis``
+    — the sharded-ICP design promised alongside :func:`ring_knn`
+    (SURVEY.md §2.3 CP-analog; the giant-cloud regime where neither the
+    scene nor even the correspondence set fits one chip).
+
+    Per iteration:
+      1. each device's source rows find their scene NN by rotating target
+         blocks around the ring (coordinates ride along — see
+         ``_ring_nn1_with_coords``), so every target point crosses each ICI
+         link exactly once and no device ever materializes the full cloud;
+      2. the rigid update is solved from ``psum``-reduced Umeyama moments
+         (Σw, Σw·p, Σw·q, Σw·p·qᵀ are linear in the data, so the collective
+         is four small reductions); every device then runs the same tiny
+         3×3 SVD and applies the identical update — the pose is replicated
+         by construction, never broadcast.
+
+    Args (all sharded over axis 0; sizes divisible by the mesh axis):
+      src_xyz float32[M, 3], src_mask bool[M] — the model being aligned.
+      target float32[N, 3], target_mask bool[N] — the scene.
+
+    Returns (T float32[4, 4] replicated, fitness float32 — PCL-style mean
+    squared inlier NN distance at the final pose).
+    """
+    n_dev = mesh.shape[axis]
+    max_sq = jnp.float32(min(max_corr_dist, 1.0e19)) ** 2
+
+    def shard_fn(s, sm, t, tm):
+        smf = sm.astype(jnp.float32)
+
+        def step(T, _):
+            moved = s @ T[:3, :3].T + T[:3, 3]
+            d, q = _ring_nn1_with_coords(moved, t, tm, axis, n_dev)
+            w = smf * (d <= max_sq) * (d < INF)
+            # psum'd Umeyama moments → identical rigid update everywhere
+            wsum = jax.lax.psum(jnp.sum(w), axis)
+            p_bar = jax.lax.psum(jnp.sum(w[:, None] * moved, 0), axis)
+            q_bar = jax.lax.psum(jnp.sum(w[:, None] * q, 0), axis)
+            wsafe = jnp.maximum(wsum, 1e-12)
+            p_bar, q_bar = p_bar / wsafe, q_bar / wsafe
+            H = jax.lax.psum(
+                jnp.einsum("ni,nj->ij", w[:, None] * (moved - p_bar),
+                           q - q_bar), axis)
+            U, _, Vt = jnp.linalg.svd(H)
+            det = jnp.linalg.det(Vt.T @ U.T)
+            S = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(
+                jnp.sign(det))
+            R = Vt.T @ S @ U.T
+            tr = q_bar - R @ p_bar
+            delta = jnp.eye(4, dtype=T.dtype)
+            delta = delta.at[:3, :3].set(R).at[:3, 3].set(tr)
+            return delta @ T, None
+
+        T0 = jnp.eye(4, dtype=jnp.float32)
+        T, _ = jax.lax.scan(step, T0, None, length=iterations)
+        # PCL fitness at the final pose (inlier mean squared NN distance)
+        moved = s @ T[:3, :3].T + T[:3, 3]
+        d, _q = _ring_nn1_with_coords(moved, t, tm, axis, n_dev)
+        w = smf * (d <= max_sq) * (d < INF)
+        num = jax.lax.psum(jnp.sum(w * jnp.minimum(d, 1e30)), axis)
+        den = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1.0)
+        return T, num / den
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return fn(src_xyz, src_mask, target, target_mask)
+
+
 def sharded_match_votes(
     scene_desc: jnp.ndarray,
     bank_desc: jnp.ndarray,

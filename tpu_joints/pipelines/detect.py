@@ -91,7 +91,14 @@ def prepare_scene(
         viewpoint = jnp.zeros(3, jnp.float32)
     with jax.named_scope("normals"):
         if normals is None or curvature is None:
-            if cfg.normal_anchors > 0:
+            if cfg.normal_radius > 0.0:
+                from tpu_joints.features.normals import estimate_normals_radius
+
+                # FPFH_demo.cpp:405-428: radius-support normals
+                normals, curvature = estimate_normals_radius(
+                    scene, radius=cfg.normal_radius, k_max=cfg.k_max,
+                    viewpoint=viewpoint)
+            elif cfg.normal_anchors > 0:
                 from tpu_joints.features.normals import estimate_normals_anchored
 
                 normals, curvature = estimate_normals_anchored(
@@ -100,6 +107,20 @@ def prepare_scene(
             else:
                 normals, curvature = estimate_normals(scene, k=cfg.normal_k,
                                                       viewpoint=viewpoint)
+
+    if cfg.remove_plane:
+        from tpu_joints.segment.sac import sac_plane
+
+        with jax.named_scope("remove_plane"):
+            # deterministic hypothesis draw: same scene → same crop
+            plane = sac_plane(scene, normals, jax.random.PRNGKey(0),
+                              n_hypotheses=256,
+                              distance_threshold=cfg.plane_dist)
+            n_valid = jnp.sum(scene.mask.astype(jnp.int32))
+            dominant = plane.score >= (
+                cfg.plane_min_fraction * n_valid.astype(jnp.float32))
+            scene = scene.with_mask(
+                scene.mask & ~(plane.inliers & dominant))
 
     if cfg.segment_scene:
         from tpu_joints.segment import cluster_curvature_filter, region_growing
@@ -110,6 +131,7 @@ def prepare_scene(
             smoothness_deg=cfg.rg_smoothness_deg,
             curvature_threshold=cfg.rg_curvature,
             min_cluster_size=cfg.rg_min_cluster,
+            max_edge=cfg.rg_max_edge,
         )
         keep = cluster_curvature_filter(
             clusters, curvature, scene.mask, cfg.cluster_max_curvature
@@ -370,6 +392,7 @@ def detect_with_features(
             inlier_threshold=cfg.hv_inlier_threshold,
             outlier_regularizer=cfg.hv_regularizer,
             chunk=1024,
+            occlusion_threshold=cfg.hv_occlusion_threshold,
         )
         effective_fitness = jnp.where(cand_verified, cand_fitness, jnp.float32(3e38))
     else:

@@ -32,6 +32,26 @@ from tpu_joints.features.organized import estimate_normals_organized
 from tpu_joints.filters.filters import compact_indices, uniform_sample_mask
 
 
+def _even_spread(keep: jnp.ndarray, n_selected: jnp.ndarray,
+                 capacity: int) -> jnp.ndarray:
+    """Thin a boolean selection to ≤ capacity EVENLY along the raster order.
+
+    Plain compaction keeps the first ``capacity`` survivors — on an
+    organized frame that is the top of the image, which silently crops the
+    bottom of the scene whenever a large background surface (table, wall)
+    pushes the survivor count over capacity. Even thinning keeps every
+    ⌈n/capacity⌉-th survivor instead: uniform density loss, no spatial
+    bias. No-op when n ≤ capacity.
+    """
+    ki = keep.astype(jnp.int32)
+    rank = jnp.cumsum(ki) - ki  # 0-based rank among survivors
+    n = jnp.maximum(n_selected, 1)
+    # dynamic stride (int32-safe: no rank*capacity products): keeps
+    # n // stride ≤ capacity survivors, evenly spaced
+    stride = (n + capacity - 1) // capacity
+    return keep & (rank % stride == 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block", "half_window", "capacity")
 )
@@ -118,6 +138,7 @@ def ingest_organized_blocks(
 
     n_selected = jnp.sum(got.astype(jnp.int32))
     if capacity is not None and capacity < Hb * Wb:
+        got = _even_spread(got, n_selected, capacity)
         idx, keep = compact_indices(got, capacity)
         pix = pix[idx]
         got = keep
@@ -235,6 +256,7 @@ def ingest_organized(
     keep = uniform_sample_mask(full, leaf) & mask
     n_selected = jnp.sum(keep.astype(jnp.int32))
 
+    keep = _even_spread(keep, n_selected, capacity)
     idx, got = compact_indices(keep, capacity)
     xyz = jnp.where(got[:, None], flat_xyz[idx], SENTINEL)
     normals = jnp.where(got[:, None], flat_n[idx], 0.0)

@@ -68,10 +68,15 @@ def gc_group(
             members = members & (agree >= _KEEP_FRACTION * size)
         n = jnp.sum(members.astype(jnp.int32))
         ok = (n >= gc_threshold) & (support[seed] > 0)
+        # consume the attempt even when the cluster collapses below the
+        # threshold (ok=False): otherwise `used` never grows and every
+        # remaining scan slot re-picks the same failed seed — on
+        # spam-heavy correspondence sets that deadlocks the whole search
+        spent = (members | (jnp.arange(M) == seed)) & avail
         members = members & ok
         w = members.astype(jnp.float32)
         pose = umeyama(mp, sp, w)
-        return used | members, (pose, n, ok, members)
+        return used | members | spent, (pose, n, ok, members)
 
     used0 = jnp.zeros((M,), bool)
     _, (poses, ns, oks, membership) = jax.lax.scan(

@@ -28,24 +28,101 @@ from tpu_joints.core.cloud import Cloud
 from tpu_joints.neighbors import knn
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+def scene_depth_buffer(
+    scene: Cloud,
+    bins: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Coarse perspective z-buffer of the scene from the origin viewpoint.
+
+    PCL's hypothesis verification reasons about occlusion against the
+    *organized* scene cloud (``HypothesisVerification`` projects each model
+    point into the sensor image and compares depths with
+    ``occlusion_thres`` — the reference sets 0.001 at
+    ``SHOT_hypothesis.cpp:58``). The working set here is unordered, so the
+    depth image is rebuilt on device: scene points are binned by their ray
+    direction (x/z, y/z — a pinhole image whose extent adapts to the
+    data), and a scatter-min keeps the nearest depth per bin.
+
+    Returns (depth [bins·bins] min-z per bin with +inf for empty,
+             lo [2], scale [2]) — the (u, v) binning transform.
+    """
+    x, y, z = scene.xyz[:, 0], scene.xyz[:, 1], scene.xyz[:, 2]
+    ok = scene.mask & (z > 1e-6)
+    u = jnp.where(ok, x / jnp.maximum(z, 1e-6), 0.0)
+    v = jnp.where(ok, y / jnp.maximum(z, 1e-6), 0.0)
+    big = jnp.float32(3e38)
+    lo = jnp.stack([jnp.min(jnp.where(ok, u, big)),
+                    jnp.min(jnp.where(ok, v, big))])
+    hi = jnp.stack([jnp.max(jnp.where(ok, u, -big)),
+                    jnp.max(jnp.where(ok, v, -big))])
+    scale = (bins - 1) / jnp.maximum(hi - lo, 1e-6)
+    ui = jnp.clip(((u - lo[0]) * scale[0]).astype(jnp.int32), 0, bins - 1)
+    vi = jnp.clip(((v - lo[1]) * scale[1]).astype(jnp.int32), 0, bins - 1)
+    flat = vi * bins + ui
+    depth = jnp.full((bins * bins,), big, jnp.float32)
+    depth = depth.at[flat].min(jnp.where(ok, z, big))
+    # close the gaps a sparse working set leaves between bins: min-dilate
+    # so each point's surface footprint covers its neighborhood (PCL reads
+    # a DENSE organized cloud here; the working set is ~100× sparser).
+    # Conservative for occlusion: dilation can only move depths nearer.
+    img = depth.reshape(bins, bins)
+    for _ in range(2):
+        img = jax.lax.reduce_window(img, big, jax.lax.min,
+                                    (3, 3), (1, 1), "SAME")
+    return img.reshape(bins * bins), lo, scale
+
+
+def _occluded(
+    xyz: jnp.ndarray,
+    depth: jnp.ndarray,
+    lo: jnp.ndarray,
+    scale: jnp.ndarray,
+    occlusion_threshold: float,
+    bins: int,
+) -> jnp.ndarray:
+    """bool[...]: point lies behind the scene surface seen from the origin."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    zs = jnp.maximum(z, 1e-6)
+    ui = jnp.clip(((x / zs - lo[0]) * scale[0]).astype(jnp.int32), 0, bins - 1)
+    vi = jnp.clip(((y / zs - lo[1]) * scale[1]).astype(jnp.int32), 0, bins - 1)
+    front = depth[vi * bins + ui]
+    return (z > front + jnp.float32(occlusion_threshold)) & (front < 1e38)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "occlusion_threshold", "bins")
+)
 def _explained_matrix(
     instances_xyz: jnp.ndarray,
     instances_mask: jnp.ndarray,
     scene: Cloud,
     inlier_threshold: float,
     chunk: int = 1024,
+    occlusion_threshold: float = 0.0,
+    bins: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """For H registered instances [H, Nm, 3]:
     explained[H, Ns] — scene point within inlier threshold of instance h;
-    outliers[H] — count of instance model points with no scene support."""
+    outliers[H] — count of *visible* instance model points with no scene
+    support. With ``occlusion_threshold > 0``, model points behind the
+    scene's depth buffer (self-occluded backsides, points hidden by other
+    objects) are exempt from outlier counting — PCL's occlusion reasoning
+    (``SHOT_hypothesis.cpp:56-64``); without it a full-model hypothesis
+    whose far side is legitimately invisible drowns in false outliers."""
     thr_sq = jnp.float32(inlier_threshold) ** 2
+    if occlusion_threshold > 0.0:
+        depth, lo, scale = scene_depth_buffer(scene, bins)
+    else:
+        depth = lo = scale = None
 
     def per_instance(ixyz, imask):
         d_s, _ = knn(scene.xyz, ixyz, 1, source_mask=imask, chunk=chunk)
         explained = scene.mask & (d_s[:, 0] <= thr_sq)
         d_m, _ = knn(ixyz, scene.xyz, 1, source_mask=scene.mask, chunk=chunk)
         outlier = imask & (d_m[:, 0] > thr_sq)
+        if occlusion_threshold > 0.0:
+            outlier = outlier & ~_occluded(
+                ixyz, depth, lo, scale, occlusion_threshold, bins)
         return explained, jnp.sum(outlier.astype(jnp.float32))
 
     return jax.vmap(per_instance)(instances_xyz, instances_mask)
@@ -60,6 +137,7 @@ def verify_hypotheses(
     outlier_regularizer: float = 0.001,
     multiple_assignment_penalty: float = 1.0,
     chunk: int = 1024,
+    occlusion_threshold: float = 0.0,
 ) -> jnp.ndarray:
     """bool[H] — the verified-instance mask (reference 'Instance GOOD!').
 
@@ -67,12 +145,18 @@ def verify_hypotheses(
       instances_xyz: float32[H, Nm, 3] ICP-registered model clouds in scene
         coordinates; instances_mask: bool[H, Nm]; instances_valid: bool[H]
         candidates that exist at all (padding hypotheses are never selected).
+      occlusion_threshold: > 0 enables PCL's occlusion exemption (depth
+        slack in meters, reference 0.001 at ``SHOT_hypothesis.cpp:58``):
+        model points hidden behind the scene's viewpoint depth buffer are
+        not counted as outliers. Scene must be in camera coordinates with
+        the viewpoint at the origin (the reference's convention throughout).
     """
     H = instances_xyz.shape[0]
     if H > 16:
         raise ValueError("exhaustive HV capped at 16 hypotheses")
     explained, outliers = _explained_matrix(
-        instances_xyz, instances_mask, scene, inlier_threshold, chunk
+        instances_xyz, instances_mask, scene, inlier_threshold, chunk,
+        occlusion_threshold=occlusion_threshold,
     )
     explained = explained & instances_valid[:, None]
     outliers = jnp.where(instances_valid, outliers, jnp.inf)

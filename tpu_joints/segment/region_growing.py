@@ -38,7 +38,7 @@ class Clusters(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "smoothness_deg", "curvature_threshold",
-                     "min_cluster_size", "max_sweeps"),
+                     "min_cluster_size", "max_sweeps", "max_edge"),
 )
 def region_growing(
     cloud: Cloud,
@@ -49,10 +49,20 @@ def region_growing(
     curvature_threshold: float = 7.0,
     min_cluster_size: int = 50,
     max_sweeps: int = 200,
+    max_edge: float = 3.0e38,
 ) -> Clusters:
+    """``max_edge`` caps the length of graph edges (meters). PCL's kNN
+    edges are implicitly short at sensor density; on sparse or cluttered
+    clouds an uncapped kNN can bridge disjoint structures (a clutter blob
+    reaching the table plane), merging clusters that the reference's BFS
+    would never join. One lucky bridge dilutes a cluster's mean curvature
+    and defeats the A11 filter — cap the edges to the expected point
+    spacing scale to keep components honest."""
     N = cloud.capacity
     d, idx = knn(cloud.xyz, cloud.xyz, k, source_mask=cloud.mask)
-    nbr_ok = (d < 1e30) & cloud.mask[:, None]
+    # d is squared; the cap also excludes the masked-source +BIG sentinels
+    edge_cap_sq = min(float(max_edge) ** 2, 1e30)
+    nbr_ok = (d < jnp.float32(edge_cap_sq)) & cloud.mask[:, None]
 
     cos_thresh = jnp.cos(jnp.radians(jnp.float32(smoothness_deg)))
     nbr_normals = normals[idx]  # [N, K, 3]

@@ -76,6 +76,7 @@ def raycast_cylinders(
     width: int = 640,
     height: int = 480,
     fov_deg: float = 57.0,
+    rects=(),
 ) -> np.ndarray:
     """Analytic dense depth of finite cylinders — a real-sensor stand-in.
 
@@ -89,6 +90,10 @@ def raycast_cylinders(
       cylinders: iterable of (center[3], unit_axis[3], radius, half_length)
         in model frame (lateral surfaces only, like the point generators).
       T_model_to_cam: float32[4, 4].
+      rects: iterable of (center[3], u_axis[3], v_axis[3], half_u, half_v)
+        bounded planar rectangles in model frame — e.g. the workshop
+        table top under the joint in the reference's scenes
+        (``Workshop_scene/scene*.pcd``).
 
     Returns float32[H, W, 3] camera-frame organized cloud, NaN at misses.
     """
@@ -126,6 +131,19 @@ def raycast_cylinders(
             z_ax = o_ax + t * d_ax
             good = hit & (t > 1e-6) & (np.abs(z_ax) <= h)
             best_t = np.where(good & (t < best_t), t, best_t)
+
+    for (c, u, v, hu, hv) in rects:
+        c = np.asarray(c, np.float64)
+        u = np.asarray(u, np.float64); u = u / np.linalg.norm(u)
+        v = np.asarray(v, np.float64); v = v / np.linalg.norm(v)
+        n = np.cross(u, v)
+        denom = d_m @ n
+        # NaN for grazing rays: every comparison below then rejects them
+        t = ((c - o_m) @ n) / np.where(np.abs(denom) > 1e-12, denom, np.nan)
+        p = o_m + t[:, None] * d_m
+        inside = (np.abs((p - c) @ u) <= hu) & (np.abs((p - c) @ v) <= hv)
+        good = inside & (t > 1e-6)
+        best_t = np.where(good & (t < best_t), t, best_t)
 
     cam_pts = d * best_t[:, None]
     cam_pts[~np.isfinite(best_t)] = np.nan
