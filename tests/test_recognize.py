@@ -161,3 +161,38 @@ def test_obb_recovers_box(rng):
     np.testing.assert_allclose(np.asarray(box.position), t, atol=0.02)
     Rb = np.asarray(box.rotation)
     np.testing.assert_allclose(Rb.T @ Rb, np.eye(3), atol=1e-4)
+
+
+def test_icp_bad_init_convergence_regime(rng):
+    """VERDICT weak item 7: the reference runs 100 point-to-point
+    iterations (SHOT.cpp:180); the framework defaults to 30 justified by
+    exact NN. Validate at the reference's convergence-from-bad-init
+    regime: a partial view started 15°/5 cm off must converge to the
+    same pose at 30 iterations as at 100."""
+    import dataclasses
+
+    from tpu_joints.core import transforms as tr
+    from tpu_joints.recognize.icp import icp
+
+    xyz, _ = joint_points(rng, n_chord=900, n_stub=500)
+    # partial overlap: a half view as the source
+    src_np = xyz[xyz[:, 1] > -0.01]
+    ang = np.radians(15.0)
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, :3] = Rz
+    bad[:3, 3] = [0.03, -0.04, 0.02]
+
+    src = make_cloud(src_np, capacity=1024)
+    tgt = make_cloud(xyz, capacity=2048)
+    T30, fit30 = icp(src, tgt, jnp.asarray(bad), iterations=30,
+                     max_corr_dist=0.05, max_corr_start=0.15)
+    T100, fit100 = icp(src, tgt, jnp.asarray(bad), iterations=100,
+                       max_corr_dist=0.05, max_corr_start=0.15)
+    # both must undo the perturbation (identity is the true pose)
+    for T, fit, n in ((T30, fit30, 30), (T100, fit100, 100)):
+        a = float(tr.rotation_geodesic_deg(jnp.eye(3), jnp.asarray(T)[:3, :3]))
+        t = float(np.linalg.norm(np.asarray(T)[:3, 3]))
+        assert a < 1.0 and t < 0.005, f"{n} iters: {a:.2f}deg {t*1000:.1f}mm"
+    assert float(fit30) <= 1.2 * float(fit100) + 1e-12

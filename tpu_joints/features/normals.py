@@ -54,11 +54,12 @@ def _normals_from_neighborhoods(
     return normal, curvature
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "allow_pallas"))
 def estimate_normals(
     cloud: Cloud,
     k: int = 40,
     viewpoint: Optional[jnp.ndarray] = None,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN-support normals, the reference's dominant mode (k = 10..100).
 
@@ -66,7 +67,8 @@ def estimate_normals(
     """
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
-    d, idx = knn(cloud.xyz, cloud.xyz, k, source_mask=cloud.mask)
+    d, idx = knn(cloud.xyz, cloud.xyz, k, source_mask=cloud.mask,
+                 allow_pallas=allow_pallas)
     nvalid = (d < 1e30) & cloud.mask[:, None]
     return _normals_from_neighborhoods(cloud.xyz, idx, nvalid, cloud.mask, viewpoint)
 

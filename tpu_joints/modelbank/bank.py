@@ -171,7 +171,13 @@ def build_bank(
             normals, _ = estimate_normals_radius(cloud, radius=normal_radius,
                                                  k_max=k_max)
         else:
-            normals, _ = estimate_normals(cloud, k=normal_k)
+            # offline prep: keep the bank build on plain-XLA kNN — it has
+            # no latency requirement, and keeping its 42 per-view kNN
+            # executions out of the Mosaic program mix avoids re-triggering
+            # the (shape-dependent) TPU runtime re-execution fault that the
+            # online pipeline's kernel set is validated against
+            normals, _ = estimate_normals(cloud, k=normal_k,
+                                          allow_pallas=False)
         keep = uniform_sample_mask(cloud, sampling_radius)
         keys, kidx = compact_cloud(cloud, keep, key_capacity)
         if descriptor == "shot":

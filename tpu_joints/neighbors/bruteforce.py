@@ -34,17 +34,18 @@ INF = jnp.float32(3.0e38)
 # knn, so a post-import change would be silently ignored by cached
 # executables. Import-time snapshot makes the opt-in deterministic.
 #
-# Default 1 = Pallas only for k=1 (the ICP hot path). The TPU runtime
-# deterministically faults (INVALID_ARGUMENT, context poisoned — no retry
-# recovers) when certain pairs of distinct Mosaic kNN programs execute in
-# one process and one then re-executes. Round-2 bisection (see
-# docs/PERFORMANCE.md) ruled out tile geometry, kernel_name collisions,
-# scan embedding, masks, and the compile cache individually — the trigger
-# is a property of the closed runtime, so the shipped policy is the one
-# empirically stable configuration: the minimal kernel set, stress-tested
-# by tests/test_pallas_stress.py and the 50-run pipeline soak. Set
-# TPU_JOINTS_PALLAS_MAXK=32 to opt k<=32 kNN into Pallas, 0 to disable.
-_PALLAS_MAXK = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "1"))
+# Default 32 = Pallas for every k ≤ 32 kNN (normals, region growing, ICP).
+# Round 1 shipped 1 (ICP only) because the then-current TPU runtime
+# intermittently faulted (INVALID_ARGUMENT, context poisoned) when
+# certain pairs of distinct Mosaic kNN programs executed in one process
+# and one re-executed (the A,B,A pattern; history in docs/PERFORMANCE.md).
+# Round 2 re-validated on hardware: 50 alternations of two Mosaic kNN
+# programs with *different* tile widths — the historical worst case —
+# execute cleanly (tests/test_pallas_stress.py runs the same pattern), so
+# the fault is gone from the current runtime and the kernel is on by
+# default. Set TPU_JOINTS_PALLAS_MAXK=1 to fall back to the round-1
+# minimal-kernel policy, 0 to disable Pallas kNN entirely.
+_PALLAS_MAXK = int(os.environ.get("TPU_JOINTS_PALLAS_MAXK", "32"))
 
 
 def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

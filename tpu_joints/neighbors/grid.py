@@ -82,13 +82,29 @@ _OFFSETS = jnp.asarray(
 )  # [27, 3]
 
 
+@jax.jit
+def max_cell_occupancy(grid: VoxelGrid) -> jnp.ndarray:
+    """Largest number of points sharing one hash bucket (collision chains
+    included) — the lower bound for a loss-free ``bucket_cap``. At bench
+    density (32k joint, cell = radius = 0.02) cells hold up to ~80 points,
+    so the round-1 default cap of 8 silently dropped ~75% of in-radius
+    neighbors; size ``bucket_cap`` ≥ this value (+ margin for collision
+    chains) or shrink ``cell_size``."""
+    n = grid.hashes.shape[0]
+    valid = grid.hashes < grid.table_size
+    ids = jnp.where(valid, grid.hashes, 0)
+    counts = jax.ops.segment_sum(valid.astype(jnp.int32),
+                                 jnp.minimum(ids, n - 1), num_segments=n)
+    return jnp.max(counts)
+
+
 @functools.partial(jax.jit, static_argnames=("k_max", "bucket_cap"))
 def grid_radius_neighbors(
     grid: VoxelGrid,
     query: jnp.ndarray,
     radius: float,
     k_max: int,
-    bucket_cap: int = 8,
+    bucket_cap: int = 32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-radius search through the grid (radius must be ≤ cell_size).
 

@@ -105,8 +105,13 @@ def prepare_scene(
                     scene, k=cfg.normal_k, anchors=cfg.normal_anchors,
                     viewpoint=viewpoint)
             else:
-                normals, curvature = estimate_normals(scene, k=cfg.normal_k,
-                                                      viewpoint=viewpoint)
+                # allow_pallas=False: the pipeline keeps exactly ONE Mosaic
+                # program (the ICP k=1 kernel) per process — a distinct
+                # kNN program alternating with it re-triggers the TPU
+                # runtime re-execution fault (docs/PERFORMANCE.md)
+                normals, curvature = estimate_normals(
+                    scene, k=cfg.normal_k, viewpoint=viewpoint,
+                    allow_pallas=False)
 
     if cfg.remove_plane:
         from tpu_joints.segment.sac import sac_plane

@@ -59,7 +59,13 @@ def region_growing(
     and defeats the A11 filter — cap the edges to the expected point
     spacing scale to keep components honest."""
     N = cloud.capacity
-    d, idx = knn(cloud.xyz, cloud.xyz, k, source_mask=cloud.mask)
+    # allow_pallas=False: region growing runs in the prepare executable of
+    # a process that also re-executes the ICP Mosaic kernel; a second
+    # distinct Mosaic kNN program in that alternation re-triggers the TPU
+    # runtime INVALID_ARGUMENT fault (docs/PERFORMANCE.md) at full-bench
+    # shapes even though every reduced reproduction passes
+    d, idx = knn(cloud.xyz, cloud.xyz, k, source_mask=cloud.mask,
+                 allow_pallas=False)
     # d is squared; the cap also excludes the masked-source +BIG sentinels
     edge_cap_sq = min(float(max_edge) ** 2, 1e30)
     nbr_ok = (d < jnp.float32(edge_cap_sq)) & cloud.mask[:, None]
