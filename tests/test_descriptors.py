@@ -166,3 +166,49 @@ def test_iss_finds_structure(rng):
     cloud = make_cloud(xyz, capacity=1024)
     kp = np.asarray(iss_keypoints(cloud, salient_radius=0.08, non_max_radius=0.06, k_max=48))
     assert kp.sum() > 0
+
+
+def test_shot_frames_repeatable_across_resampling(rng):
+    """Cross-sampling frame behavior — the property Hough voting runs on.
+
+    Two different SAMPLINGS of the same surface (the bank's matched view
+    vs the scene working set) measured against each other:
+
+    - the z-axis (support-plane normal) is geometric and must repeat
+      (≥ 90% within 10°);
+    - the in-plane x-axis is *genuinely degenerate* on smooth cylinder
+      bodies (λ1 ≈ λ2: measured median disagreement ≈ 100° here, and PCL
+      shows the same on untextured scans) — detection works because the
+      minority of keypoints on anisotropic patches (joint intersection,
+      corners) carry repeatable frames and form the Hough peak while the
+      degenerate majority scatters. The contract asserted is exactly
+      that: a coherent ≥ 10% minority, not a repeatable majority.
+    """
+    xyz_a, _ = joint_points(rng, n_chord=1500, n_stub=900)
+    xyz_b, _ = joint_points(np.random.default_rng(123), n_chord=1500,
+                            n_stub=900)  # same surface, different sampling
+    ca = make_cloud(xyz_a, capacity=4096)
+    cb = make_cloud(xyz_b, capacity=4096)
+    keep = uniform_sample_mask(ca, 0.05)
+    keys, _ = compact_cloud(ca, keep, 128)
+
+    def frames(cloud):
+        idx, within, _ = radius_neighbors(keys.xyz, cloud.xyz, 0.1, 96,
+                                          source_mask=cloud.mask)
+        return shot_lrf(keys.xyz, cloud.xyz[idx],
+                        within & keys.mask[:, None], 0.1)
+
+    rf_a, ok_a = frames(ca)
+    rf_b, ok_b = frames(cb)
+    ok = np.asarray(ok_a & ok_b & keys.mask)
+    assert ok.sum() > 30
+    Ra, Rb = np.asarray(rf_a)[ok], np.asarray(rf_b)[ok]
+    z_ang = np.degrees(np.arccos(np.clip(
+        np.einsum("ni,ni->n", Ra[:, 2], Rb[:, 2]), -1, 1)))
+    assert (z_ang < 10.0).mean() >= 0.90, (
+        f"z-axis must be sampling-independent: {(z_ang < 10).mean():.0%}")
+    M = np.einsum("nij,nkj->nik", Ra, Rb)
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(M, axis1=1, axis2=2) - 1) / 2, -1, 1)))
+    assert (ang < 10.0).mean() >= 0.10, (
+        f"no coherent frame minority left to vote: {(ang < 10).mean():.0%}")
