@@ -361,7 +361,9 @@ def detect_with_features(
 
     V = bank.desc.shape[0]
     P = cfg.max_instances_per_view
-    C = cfg.max_candidates
+    # never ask for more candidates than the instance pool holds (a small
+    # bank with max_instances_per_view=1 can have V·P < max_candidates)
+    C = min(cfg.max_candidates, V * P)
     votes = jnp.where(inst.valid, inst.votes, -1.0).reshape(V * P)
     top_votes, top_flat = jax.lax.top_k(votes, C)
     cand_views = top_flat // P

@@ -105,7 +105,7 @@ def _detect_parts_device(
     Vt = cat.desc.shape[0]          # P·V concatenated views
     V = Vt // P
     Pi = cfg.max_instances_per_view
-    C = cfg.max_candidates
+    C = min(cfg.max_candidates, V * Pi)
 
     with jax.named_scope("match_bank"):
         corrs = match_bank(feats.desc, feats.desc_valid, cat.desc,
