@@ -53,11 +53,29 @@ def main():
 
     print(f"device={jax.devices()[0].device_kind}")
 
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32) if bench.SEGMENT else None
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32) if bench.SEGMENT else None
     ing = timeit("ingest_organized_blocks", lambda: ingest_organized_blocks(
         xyz_img, valid, block=block, half_window=half_window,
-        capacity=cfg.scene_capacity))
+        capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi))
     scene, normals, curvature, n_sel = ing
     print(f"  working set: {int(n_sel)}")
+
+    if cfg.remove_plane:
+        from tpu_joints.segment.sac import sac_plane
+
+        sp = jax.jit(functools.partial(sac_plane, n_hypotheses=256,
+                                       distance_threshold=cfg.plane_dist))
+        timeit("  sac_plane", lambda: sp(scene, normals, jax.random.PRNGKey(0)))
+    if cfg.segment_scene:
+        from tpu_joints.segment import region_growing
+
+        rg = jax.jit(functools.partial(
+            region_growing, k=min(30, cfg.normal_k),
+            smoothness_deg=cfg.rg_smoothness_deg,
+            curvature_threshold=cfg.rg_curvature,
+            min_cluster_size=cfg.rg_min_cluster, max_edge=cfg.rg_max_edge))
+        timeit("  region_growing", lambda: rg(scene, normals, curvature))
 
     feats = timeit("prepare_scene (keys+SHOT+LRF)", lambda: _prepare_jit(
         scene, cfg, None, normals, curvature))
@@ -104,6 +122,22 @@ def main():
             k, s, n, radius=radius, k_max=k_max))
     timeit("  compute_shot", lambda: cs(
         keys, scene, normals, cfg.descr_rad, cfg.k_max))
+
+    if cfg.rf_frames == "board":
+        from tpu_joints.features.lrf import board_lrf
+        from tpu_joints.neighbors import radius_neighbors
+
+        def rfg():
+            nidx, nwithin, _ = radius_neighbors(
+                keys.xyz, scene.xyz, cfg.rf_rad, cfg.rf_k_max,
+                source_mask=scene.mask)
+            return nidx, nwithin
+        nidx, nwithin = timeit("  rf radius gather", jax.jit(rfg))
+        nvalid = nwithin & keys.mask[:, None]
+        bl = jax.jit(functools.partial(board_lrf, radius=cfg.rf_rad))
+        timeit("  board_lrf", lambda: bl(keys.xyz, normals[kidx],
+                                         scene.xyz[nidx], normals[nidx],
+                                         nvalid))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,35 @@ def test_detect_parts_picks_right_part(rng):
     assert float(out.result.fitness) < float(out.per_part["chord"].fitness)
 
 
+def test_detect_parts_honors_hv(rng):
+    """cfg.hv_enabled must actually run hypothesis verification on the
+    multi-part path (round-2 advisor: it was silently ignored). The true
+    part's winner survives HV; at minimum cand_verified must differ from
+    the blanket cand_valid copy for the losing part's far-off candidates."""
+    import dataclasses
+
+    chord, _ = cylinder_points(rng, radius=0.05, height=0.6, n=700, axis="x")
+    stub, _ = cylinder_points(rng, radius=0.12, height=0.15, n=700, axis="z")
+    banks = {"chord": _bank(chord), "stub": _bank(stub)}
+    views, poses, _ = render_views(stub, level=0, resolution=96)
+    v = int(np.argmax([w.shape[0] for w in views]))
+    scene = make_cloud(views[v][:1024], capacity=CFG.scene_capacity)
+
+    cfg = dataclasses.replace(CFG, hv_enabled=True, hv_inlier_threshold=0.01,
+                              hv_occlusion_threshold=0.001)
+    out = detect_parts(scene, banks, cfg)
+    assert out.part == "stub"
+    assert bool(out.result.cand_verified.reshape(-1).any())
+    # HV is a joint optimization: activating a hypothesis far from the
+    # scene costs outliers with no explanation gain, so the pooled mask
+    # must reject at least one candidate that plain validity kept
+    n_valid = sum(int(np.asarray(r.cand_valid).sum())
+                  for r in out.per_part.values())
+    n_verified = sum(int(np.asarray(r.cand_verified).sum())
+                     for r in out.per_part.values())
+    assert n_verified < n_valid
+
+
 def test_detect_parts_shares_scene_features(rng, monkeypatch):
     """The part axis is batched (VERDICT item 8): scene features are
     extracted once and every part runs inside ONE device program — the

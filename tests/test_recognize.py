@@ -150,6 +150,67 @@ def test_verify_hypotheses_picks_real_instance(rng):
     assert picked[0] and not picked[1]
 
 
+def test_verify_hypotheses_greedy_above_16(rng):
+    """H > 16 takes the greedy local-search path (VERDICT round-2 item 7:
+    the multi-part pipeline pools P·C candidates past the exhaustive cap).
+    One true instance among 23 offset copies at H=24 must be the sole
+    survivor."""
+    xyz, _ = joint_points(rng, n_chord=250, n_stub=150)
+    scene = make_cloud(xyz, capacity=512)
+    good = np.pad(xyz + rng.normal(scale=1e-4, size=xyz.shape).astype(np.float32),
+                  ((0, 512 - xyz.shape[0]), (0, 0)), constant_values=1e6)
+    H = 24
+    insts = [good]
+    for h in range(1, H):
+        off = 0.3 + 0.05 * h
+        insts.append(good + np.array([off, -off, off], np.float32))
+    inst_xyz = jnp.asarray(np.stack(insts))
+    mask = np.zeros((H, 512), bool)
+    mask[:, : xyz.shape[0]] = True
+    valid = np.ones(H, bool)
+    valid[-1] = False  # padding hypothesis must never activate
+    picked = np.asarray(
+        verify_hypotheses(
+            inst_xyz, jnp.asarray(mask), jnp.asarray(valid), scene,
+            inlier_threshold=0.005, chunk=512,
+        )
+    )
+    assert picked[0]
+    assert not picked[1:].any()
+
+
+def test_greedy_hv_matches_exhaustive_small(rng):
+    """On an enumerable instance the greedy fallback should land on the
+    exhaustive optimum (two overlapping half-explanations + one clutter
+    hypothesis — a case where pure forward-greedy orderings can differ)."""
+    from tpu_joints.recognize.hv import _explained_matrix, _greedy_verify
+
+    xyz, _ = joint_points(rng, n_chord=250, n_stub=150)
+    scene = make_cloud(xyz, capacity=512)
+    n = xyz.shape[0]
+    pad = ((0, 512 - n), (0, 0))
+    full = np.pad(xyz, pad, constant_values=1e6)
+    half_a = full.copy(); half_a[n // 2:] = 1e6
+    half_b = full.copy(); half_b[: n // 2] = 1e6
+    clutter = full + 0.4
+    inst_xyz = jnp.asarray(np.stack([half_a, half_b, clutter, full]))
+    mask = np.zeros((4, 512), bool)
+    mask[0, : n // 2] = True
+    mask[1, n // 2: n] = True
+    mask[2, :n] = True
+    mask[3, :n] = True
+    valid = jnp.ones(4, bool)
+    explained, outliers = _explained_matrix(
+        inst_xyz, jnp.asarray(mask), scene, 0.005, 512)
+    explained = explained & valid[:, None]
+    greedy = np.asarray(_greedy_verify(explained, outliers, valid,
+                                       0.001, 1.0))
+    exhaustive = np.asarray(
+        verify_hypotheses(inst_xyz, jnp.asarray(mask), valid, scene,
+                          inlier_threshold=0.005, chunk=512))
+    np.testing.assert_array_equal(greedy, exhaustive)
+
+
 def test_obb_recovers_box(rng):
     dims = np.array([0.4, 0.2, 0.1], np.float32)
     pts = rng.uniform(-0.5, 0.5, (800, 3)).astype(np.float32) * dims

@@ -4,17 +4,25 @@ TPU-native re-design of PCL's ``FPFHEstimation`` (reference
 ``FPFH_demo.cpp:422-428``, ``:505-510``): Fast Point Feature Histograms
 (Rusu et al.). Two passes:
 
-1. SPFH — for every point, Darboux-frame angular features (α, φ, θ) against
-   each radius neighbor, hard-binned into three 11-bin histograms (hard
-   binning matches PCL; each histogram increment is 100 / #neighbors).
-2. FPFH — FPFH(p) = SPFH(p) + (1/k) Σ_j SPFH(j) / ||p - p_j||², then each
-   11-bin block renormalized to sum 100 (PCL's convention; the weights use
-   squared distances, as returned by the neighbor search).
+1. SPFH — for every point, Darboux-frame angular features (θ, α, φ)
+   against each radius neighbor, hard-binned into three 11-bin histograms.
+   PCL's increment is ``100 / (#radius neighbors − 1)`` — the denominator
+   counts every non-self neighbor, including pairs the degeneracy guard
+   later skips (``computePointSPFHSignature``).
+2. FPFH — PCL's ``weightPointSPFHSignature`` is the 1/d²-weighted sum of
+   the *neighbors'* SPFHs only: the query's own SPFH never enters (the
+   loop skips ``dists == 0`` — "minus the query point itself" — and adds
+   no self term, a deliberate deviation from the paper's
+   ``SPFH(p) + (1/k)Σ`` formula). Each 11-bin block is then renormalized
+   to sum 100, which also absorbs the paper's 1/k factor.
 
 Binning is a one-hot matmul (``Σ_k onehot(bin_k) · w_k``), not a scatter,
 and the neighbor-SPFH mixing is a weighted gather-sum — both batched over
-all points at once. Sub-histogram order is [α | φ | θ]; the order only needs
-to be consistent between model and scene banks.
+all points at once. Sub-histogram order is PCL's ``FPFHSignature33``
+layout [f1=θ | f2=α | f3=φ]: ``pcl::computePairFeatures`` returns the
+atan2-range feature as f1 (binned with the ``(f + π)/2π`` rule), and the
+two cosine-range features as f2/f3 — numeric parity requires the same
+block order, not merely bank/scene consistency.
 """
 from __future__ import annotations
 
@@ -84,8 +92,12 @@ def spfh(
     radius: float,
     k_max: int,
 ) -> jnp.ndarray:
-    """Simplified Point Feature Histograms, [M, 33], blocks each sum to 100."""
-    idx, within, _ = radius_neighbors(
+    """Simplified Point Feature Histograms, [M, 33].
+
+    Blocks sum to ``100 · n_accumulated / n_nonself`` (= 100 exactly when
+    no pair hits the degeneracy guard — PCL's denominator convention, see
+    module docstring)."""
+    idx, within, dist_sq = radius_neighbors(
         query_xyz, surface_xyz, radius, k_max,
         source_mask=surface_mask, exclude_self=query_xyz is surface_xyz,
     )
@@ -94,16 +106,19 @@ def spfh(
     alpha, phi, theta, ok = pair_features(
         query_xyz[:, None, :], query_normals[:, None, :], nxyz, nnrm
     )
-    valid = within & ok & query_mask[:, None]
+    nonself = within & (dist_sq > 1e-18) & query_mask[:, None]
+    valid = nonself & ok
     ba, bp, bt = _hard_bins(alpha, phi, theta)
     w = valid.astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    incr = 100.0 / cnt  # PCL hist_incr
+    # PCL hist_incr: 100 / (#non-self neighbors), degenerate pairs included
+    cnt = jnp.maximum(jnp.sum(nonself.astype(jnp.float32), axis=1), 1.0)
+    incr = 100.0 / cnt
     oh = lambda b: jax.nn.one_hot(b, _NB, dtype=jnp.float32)
     ha = jnp.sum(oh(ba) * w[..., None], axis=1) * incr[:, None]
     hp = jnp.sum(oh(bp) * w[..., None], axis=1) * incr[:, None]
     ht = jnp.sum(oh(bt) * w[..., None], axis=1) * incr[:, None]
-    return jnp.concatenate([ha, hp, ht], axis=-1)
+    # PCL block order: [θ | α | φ] (see module docstring)
+    return jnp.concatenate([ht, ha, hp], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "k_max"))
@@ -117,28 +132,28 @@ def compute_fpfh(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FPFH-33 for keypoints against a search surface.
 
-    Returns (desc float32[M, 33], valid bool[M]). Each 11-bin block is
-    normalized to sum 100, matching PCL's output convention.
+    Returns (desc float32[M, 33], valid bool[M]). PCL-numeric: the output
+    is the 1/d²-weighted sum of the radius NEIGHBORS' SPFHs — the
+    keypoint's own SPFH never enters (``weightPointSPFHSignature`` skips
+    ``dists == 0`` and adds no self term) — with each 11-bin block
+    normalized to sum 100. ``keypoint_normals`` is kept for interface
+    stability (PCL's estimator requires input normals too) but no longer
+    affects the descriptor values.
     """
     # SPFH for every surface point (batched; feeds the neighbor mixing).
     surf_spfh = spfh(
         surface.xyz, surface_normals, surface.mask,
         surface.xyz, surface_normals, surface.mask, radius, k_max,
     )
-    # SPFH at the keypoints themselves (works whether or not keypoints ⊆ surface).
-    key_spfh = spfh(
-        keypoints.xyz, keypoint_normals, keypoints.mask,
-        surface.xyz, surface_normals, surface.mask, radius, k_max,
-    )
-    # Mix neighbor SPFHs with 1/d² weights.
+    del keypoint_normals
+    # Weight neighbor SPFHs by 1/d² (the search returns squared distances,
+    # and PCL's weight is 1/nn_dists — squared — verbatim).
     idx, within, dist_sq = radius_neighbors(
         keypoints.xyz, surface.xyz, radius, k_max, source_mask=surface.mask
     )
     valid = within & keypoints.mask[:, None] & (dist_sq > 1e-12)
     w = jnp.where(valid, 1.0 / jnp.maximum(dist_sq, 1e-12), 0.0)
-    k = jnp.maximum(jnp.sum(valid.astype(jnp.float32), axis=1), 1.0)
-    mixed = jnp.einsum("mk,mkf->mf", w, surf_spfh[idx]) / k[:, None]
-    raw = key_spfh + mixed
+    raw = jnp.einsum("mk,mkf->mf", w, surf_spfh[idx])
     # renormalize each block to 100
     blocks = raw.reshape(-1, 3, _NB)
     sums = jnp.maximum(jnp.sum(blocks, axis=-1, keepdims=True), 1e-12)

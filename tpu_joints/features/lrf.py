@@ -38,16 +38,13 @@ _HI = jax.lax.Precision.HIGHEST
 def _disambiguate(axis: jnp.ndarray, rel: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Flip ``axis`` [M,3] so the weighted support mass points along it.
 
-    PCL votes by the *count* of offsets with a non-negative projection
-    (``SHOT.cpp``'s estimator internals) — but a hard sign test is fragile
-    exactly where it matters: offsets nearly perpendicular to the axis
-    (including the keypoint's own zero offset) carry the LARGEST support
-    weight (radius − distance ≈ radius) yet classify by f32 noise, so the
-    same patch can vote opposite ways in two rotated copies (measured: 23%
-    of frames flipped under a rigid motion). The weighted projection *sum*
-    is a linear functional of the support — exactly rigid-equivariant —
-    so it is the primary criterion; the count majority only breaks
-    genuine near-symmetric ties where the sum carries no signal.
+    PCL's convention — the *unweighted count* majority of sign(projection)
+    with the ``>= 0`` bias — is the primary criterion here (the inline
+    comment below carries the full rationale: matched bank and scene
+    patches then agree on the raw eigenvector signs, and one f32-noise
+    reclassification moves the tally by at most ±1 vote). The weighted
+    projection *sum*, being exactly rigid-equivariant, only breaks exact
+    count ties, where the majority carries no signal.
     """
     dots = jnp.einsum("mki,mi->mk", rel, axis)
     # PCL convention: UNWEIGHTED majority of sign(projection) with >= 0

@@ -98,7 +98,12 @@ def estimate_normals_anchored(
     a_idx = jnp.linspace(0, N - 1, anchors).astype(jnp.int32)
     a_xyz = cloud.xyz[a_idx]
     a_mask = cloud.mask[a_idx]
-    d, idx = knn(a_xyz, cloud.xyz, k, source_mask=cloud.mask)
+    # allow_pallas=False (like the propagation call below): with the
+    # default _PALLAS_MAXK=32 this anchor kNN would otherwise put a second
+    # Mosaic program into the prepare executable alternating with the ICP
+    # k=1 kernel — the A,B,A re-execution fault (docs/PERFORMANCE.md)
+    d, idx = knn(a_xyz, cloud.xyz, k, source_mask=cloud.mask,
+                 allow_pallas=False)
     nvalid = (d < 1e30) & a_mask[:, None]
     a_normals, a_curv = _normals_from_neighborhoods(
         cloud.xyz, idx, nvalid, a_mask, viewpoint, query_xyz=a_xyz

@@ -82,7 +82,6 @@ _OFFSETS = jnp.asarray(
 )  # [27, 3]
 
 
-@jax.jit
 def max_cell_occupancy(grid: VoxelGrid) -> jnp.ndarray:
     """Largest number of points sharing one hash bucket (collision chains
     included) — the lower bound for a loss-free ``bucket_cap``. At bench
@@ -90,11 +89,18 @@ def max_cell_occupancy(grid: VoxelGrid) -> jnp.ndarray:
     so the round-1 default cap of 8 silently dropped ~75% of in-radius
     neighbors; size ``bucket_cap`` ≥ this value (+ margin for collision
     chains) or shrink ``cell_size``."""
-    n = grid.hashes.shape[0]
-    valid = grid.hashes < grid.table_size
-    ids = jnp.where(valid, grid.hashes, 0)
-    counts = jax.ops.segment_sum(valid.astype(jnp.int32),
-                                 jnp.minimum(ids, n - 1), num_segments=n)
+    return _max_cell_occupancy(grid.hashes, int(grid.table_size))
+
+
+@functools.partial(jax.jit, static_argnames=("table_size",))
+def _max_cell_occupancy(hashes: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    # segment over the HASH-ID space: bucket ids range over [0, table_size),
+    # not [0, n) — clamping them into the point-count range collapses every
+    # high bucket into one segment and overestimates ~200× (round-2 advisor)
+    valid = hashes < table_size
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), jnp.where(valid, hashes, 0),
+        num_segments=table_size)
     return jnp.max(counts)
 
 

@@ -26,9 +26,8 @@ matmul/ICP width, not P× the pipeline.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -46,6 +45,7 @@ from tpu_joints.pipelines.detect import (
     _prepare_jit,
     match_bank,
 )
+from tpu_joints.recognize.hv import verify_hypotheses
 from tpu_joints.recognize.icp import icp_multi
 from tpu_joints.recognize.obb import oriented_bounding_box
 
@@ -135,6 +135,22 @@ def _detect_parts_device(
         )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
+    # hypothesis verification over the POOLED P·C candidates (the
+    # reference runs GO-HV once over all registered instances regardless
+    # of which part loop produced them, SHOT_hypothesis.cpp:632-651);
+    # P·C > 16 takes verify_hypotheses' greedy local-search path
+    if cfg.hv_enabled:
+        inst_xyz = jax.vmap(transform_points)(cat.view_xyz[gv], cand_poses)
+        cand_verified = verify_hypotheses(
+            inst_xyz, cat.view_mask[gv], cand_valid, feats.cloud,
+            inlier_threshold=cfg.hv_inlier_threshold,
+            outlier_regularizer=cfg.hv_regularizer,
+            chunk=1024,
+            occlusion_threshold=cfg.hv_occlusion_threshold,
+        )
+    else:
+        cand_verified = cand_valid
+
     # full-CAD ranking/polish against each candidate's OWN part model
     full_cands = jax.vmap(compose)(cand_poses, cat.poses[gv])
     part_of = jnp.repeat(jnp.arange(P), C)            # [P*C]
@@ -149,11 +165,12 @@ def _detect_parts_device(
                 point_to_plane=cfg.final_point_to_plane,
                 target_normals=feats.normals,
             )
-        effective = jnp.where(cand_valid, model_fit, jnp.float32(3e38))
+        effective = jnp.where(cand_valid & cand_verified, model_fit,
+                              jnp.float32(3e38))
         use_model = cfg.select_by_model_fitness
     else:
         polished, model_fit = full_cands, cand_fitness
-        effective = cand_fitness
+        effective = jnp.where(cand_verified, cand_fitness, jnp.float32(3e38))
         use_model = False
 
     # per-part winner (the reference's per-loop best tracking)
@@ -170,7 +187,7 @@ def _detect_parts_device(
         full_pose = full_cands[flat_best]
         full_fitness = model_fit[flat_best] if use_model else fitness
         accepted = fitness < cfg.accept_fitness
-    accepted = accepted & cand_valid[flat_best]
+    accepted = accepted & cand_valid[flat_best] & cand_verified[flat_best]
 
     win_gv = gv[flat_best]
     aligned_xyz = jax.vmap(transform_points)(cat.view_xyz[win_gv], view_pose)
@@ -190,6 +207,7 @@ def _detect_parts_device(
         cand_fitness=cand_fitness.reshape(P, C),
         cand_views=local_view,
         cand_valid=cand_valid.reshape(P, C),
+        cand_verified=cand_verified.reshape(P, C),
         obb=box,
         correspondences=jnp.sum(
             corrs.valid.reshape(P, V, -1).astype(jnp.int32), axis=(1, 2)),
@@ -232,7 +250,7 @@ def detect_parts(
             cand_fitness=out["cand_fitness"][p],
             cand_views=out["cand_views"][p],
             cand_valid=out["cand_valid"][p],
-            cand_verified=out["cand_valid"][p],
+            cand_verified=out["cand_verified"][p],
             obb=jax.tree_util.tree_map(lambda a: a[p], out["obb"]),
             metrics={
                 "scene_points": out["scene_points"],

@@ -13,8 +13,11 @@ the scene:
 
 The reference never runs with more than ~8 surviving hypotheses, so the
 2^H subsets are evaluated *exhaustively in one batched pass* — a guaranteed
-global optimum where PCL runs simulated-annealing/local search. For larger
-H a greedy pass would be required; we cap H at 16 statically.
+global optimum where PCL runs simulated-annealing/local search. Above
+H = 16 (e.g. the multi-part path's P·C pooled candidates) the exhaustive
+sweep gives way to batched single-flip local search from the empty set —
+the same regime PCL's metaheuristic operates in, evaluated H flips at a
+time as one [H, Ns] matmul per step.
 """
 from __future__ import annotations
 
@@ -152,14 +155,22 @@ def verify_hypotheses(
         the viewpoint at the origin (the reference's convention throughout).
     """
     H = instances_xyz.shape[0]
-    if H > 16:
-        raise ValueError("exhaustive HV capped at 16 hypotheses")
     explained, outliers = _explained_matrix(
         instances_xyz, instances_mask, scene, inlier_threshold, chunk,
         occlusion_threshold=occlusion_threshold,
     )
     explained = explained & instances_valid[:, None]
     outliers = jnp.where(instances_valid, outliers, jnp.inf)
+
+    if H > 16:
+        # 2^H is no longer enumerable: batched single-flip local search
+        # from the empty set (PCL's own local-optimization regime,
+        # ``SHOT_hypothesis.cpp:632-651``). Each step evaluates all H
+        # one-bit flips as one [H, Ns] coverage matmul and takes the best
+        # improving move; 2H steps suffice for any greedy-monotone path.
+        return _greedy_verify(
+            explained, outliers, instances_valid,
+            outlier_regularizer, multiple_assignment_penalty)
 
     # stream over the 2^H activation patterns in fixed-size chunks so the
     # [patterns, Ns] coverage matrix never exceeds a few MB
@@ -190,3 +201,43 @@ def verify_hypotheses(
     costs, actives = jax.lax.map(eval_chunk, jnp.arange(n_chunks, dtype=jnp.uint32))
     best = jnp.argmin(costs)
     return actives[best]
+
+
+@jax.jit
+def _greedy_verify(
+    explained: jnp.ndarray,       # bool[H, Ns], already masked by validity
+    outliers: jnp.ndarray,        # f32[H], inf for invalid hypotheses
+    valid: jnp.ndarray,           # bool[H]
+    outlier_regularizer: float,
+    multiple_assignment_penalty: float,
+) -> jnp.ndarray:
+    H = explained.shape[0]
+    ex_f = explained.astype(jnp.float32)                     # [H, Ns]
+    out_vec = jnp.where(jnp.isfinite(outliers), outliers, 0.0)
+
+    def cost_of(active_f):                                   # [..., H] → [...]
+        cover = active_f @ ex_f                              # [..., Ns]
+        return (
+            -jnp.sum(jnp.minimum(cover, 1.0), axis=-1)
+            + outlier_regularizer * (active_f @ out_vec)
+            + multiple_assignment_penalty
+            * jnp.sum(jnp.maximum(cover - 1.0, 0.0), axis=-1)
+        )
+
+    eye = jnp.eye(H, dtype=bool)
+
+    def body(_, state):
+        active, cost = state
+        # flipping an invalid bit is a no-op (its flip duplicates `active`
+        # and can never strictly improve), so invalid bits stay off
+        flips = jnp.logical_xor(active[None, :], eye) & valid[None, :]
+        costs = cost_of(flips.astype(jnp.float32))           # [H]
+        j = jnp.argmin(costs)
+        better = costs[j] < cost - 1e-6
+        return (jnp.where(better, flips[j], active),
+                jnp.where(better, costs[j], cost))
+
+    active0 = jnp.zeros((H,), bool)
+    active, _ = jax.lax.fori_loop(
+        0, 2 * H, body, (active0, cost_of(active0.astype(jnp.float32))))
+    return active
