@@ -107,6 +107,12 @@ class DetectionConfig:
     # default (unbounded) matches PCL semantics at sensor density
     rg_max_edge: float = 3.0e38
     cluster_max_curvature: float = 0.04
+    # OBB semantics: region-grow the ALIGNED winning view (k=30 normals,
+    # smoothness 5°, curvature 5.0) and fit the box to the largest smooth
+    # cluster only — the reference's pre-step (SHOT_demo.cpp:697-740),
+    # which keeps occluded/mis-trimmed alignments from skewing the box.
+    # Off by default: it adds a normals+region-growing pass per detection.
+    obb_largest_cluster: bool = False
     # capacities (static shapes; pad-to-bucket)
     scene_capacity: int = 16384
     scene_key_capacity: int = 1024
@@ -137,6 +143,7 @@ SHOT_DEMO = DetectionConfig(
     descriptor="shot", scene_ss=0.03, model_ss=0.02,
     match_mode="ratio", ratio=1.0, segment_scene=True,
     accept_fitness=0.006, final_icp_iterations=3,
+    obb_largest_cluster=True,         # SHOT_demo.cpp:697-740 OBB pre-step
 )
 
 FPFH_DEMO = DetectionConfig(
@@ -147,6 +154,7 @@ FPFH_DEMO = DetectionConfig(
     rf_frames="board",                # FPFH_demo pairs FPFH with BOARD (:548-585)
     match_mode="ratio", ratio=1.0, segment_scene=True,
     accept_fitness=0.006, final_icp_iterations=3,
+    obb_largest_cluster=True,         # FPFH_demo.cpp:693-842 OBB pre-step
 )
 
 SHOT_HYPOTHESIS = DetectionConfig(

@@ -19,4 +19,9 @@ from tpu_joints.distributed.batch import (  # noqa: F401
     shard_inputs,
     stack_clouds,
 )
-from tpu_joints.distributed.halo import ring_icp, ring_knn, sharded_match_votes  # noqa: F401
+from tpu_joints.distributed.halo import (  # noqa: F401
+    halo_radius_neighbors,
+    ring_icp,
+    ring_knn,
+    sharded_match_votes,
+)

@@ -201,6 +201,105 @@ def ring_icp(
     return fn(src_xyz, src_mask, target, target_mask)
 
 
+def halo_radius_neighbors(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    k_max: int,
+    mesh: Mesh,
+    axis: str = "model",
+    halo: int = 256,
+    slab_axis: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fixed-radius self-neighborhoods of a slab-sharded giant cloud with
+    BOUNDARY-ONLY halo exchange — the promised CP-analog refinement of
+    :func:`ring_knn` (SURVEY.md §2.3/§5; VERDICT round-2 item 5).
+
+    ``ring_knn`` rotates entire source blocks around the ring: every point
+    crosses every ICI link (O(N) traffic per device) — correct at any
+    geometry, wasteful for *radius-bounded* queries. When the cloud is
+    sharded into contiguous spatial slabs along ``slab_axis`` (sort by that
+    coordinate before sharding), a radius query can only reach ``radius``
+    past the slab edge, so each device needs just the boundary band of its
+    two ring neighbors: per link, ``halo`` points instead of N — traffic
+    proportional to the boundary area, exactly the boundary-voxel halo of
+    a grid decomposition (here the slab edge band IS the boundary-cell
+    set, selected as the ``halo`` points nearest each edge).
+
+    Contract (documented + test-bounded, like ``neighbors.grid``):
+      * ``radius`` must not exceed any slab's extent along ``slab_axis``
+        (one-hop halos; a deeper reach would need multi-hop exchange);
+      * ``halo`` must be ≥ the number of points within ``radius`` of a
+        slab edge (undersized halos silently truncate, same contract as
+        ``bucket_cap``); the ends of the slab line exchange nothing
+        (non-periodic: the wrap-around halo is masked off).
+
+    Args:
+      xyz: float32[N, 3], slab-sorted, shardable on axis 0.
+      mask: bool[N].
+      radius / k_max: as ``neighbors.radius_neighbors``.
+      halo: static boundary-band capacity per edge.
+
+    Returns:
+      (idx int32[N, k_max] — GLOBAL row indices, valid bool, dist_sq f32),
+      sharded like ``xyz``; the k_max nearest in-radius points per query.
+    """
+    n_dev = mesh.shape[axis]
+    N = xyz.shape[0]
+    n_local = N // n_dev
+    r = jnp.float32(radius)
+
+    def shard_fn(x, m):
+        me = jax.lax.axis_index(axis)
+        gidx = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        c = x[:, slab_axis]
+        lo = jnp.min(jnp.where(m, c, jnp.inf))
+        hi = jnp.max(jnp.where(m, c, -jnp.inf))
+        # boundary bands: the `halo` points nearest each slab edge
+        d_lo = jnp.where(m, c - lo, jnp.inf)   # height above my lower edge
+        d_hi = jnp.where(m, hi - c, jnp.inf)   # depth below my upper edge
+        _, sel_lo = jax.lax.top_k(-d_lo, halo)
+        _, sel_hi = jax.lax.top_k(-d_hi, halo)
+        band = lambda sel, d: (x[sel], m[sel] & (d[sel] <= r), gidx[sel])
+        to_left = band(sel_lo, d_lo)    # my lower band → left neighbor
+        to_right = band(sel_hi, d_hi)   # my upper band → right neighbor
+        perm_r = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        perm_l = [(j, (j - 1 + n_dev) % n_dev) for j in range(n_dev)]
+        from_left = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, axis, perm_r), to_right)
+        from_right = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, axis, perm_l), to_left)
+        # the slab line is NOT periodic: mask the wrap-around halos
+        fl_x, fl_m, fl_i = from_left
+        fr_x, fr_m, fr_i = from_right
+        fl_m = fl_m & (me > 0)
+        fr_m = fr_m & (me < n_dev - 1)
+
+        src = jnp.concatenate([x, fl_x, fr_x])                 # [nl+2H, 3]
+        src_m = jnp.concatenate([m, fl_m, fr_m])
+        src_g = jnp.concatenate([gidx, fl_i, fr_i])
+        s2 = jnp.sum(src * src, axis=-1)
+        q2 = jnp.sum(x * x, axis=-1, keepdims=True)
+        d = q2 + s2[None, :] - 2.0 * jnp.dot(
+            x, src.T, precision=jax.lax.Precision.HIGHEST)
+        d = jnp.maximum(d, 0.0)
+        # source-mask only, matching neighbors.radius_neighbors (callers
+        # mask invalid queries themselves)
+        d = jnp.where(src_m[None, :], d, INF)
+        neg, arg = jax.lax.top_k(-d, k_max)
+        dist_sq = -neg
+        idx = src_g[arg]
+        valid = dist_sq <= r * r
+        return idx, valid, dist_sq
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    return fn(xyz, mask)
+
+
 def sharded_match_votes(
     scene_desc: jnp.ndarray,
     bank_desc: jnp.ndarray,

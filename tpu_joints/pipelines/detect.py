@@ -470,7 +470,15 @@ def detect_with_features(
         mask=bank.view_mask[view_idx],
         rgb=jnp.zeros((bank.view_xyz.shape[1], 3), jnp.float32),
     )
-    box = oriented_bounding_box(aligned)
+    if cfg.obb_largest_cluster:
+        # reference OBB semantics: region-grow the aligned model, box the
+        # dominant smooth cluster only (SHOT_demo.cpp:697-740)
+        from tpu_joints.recognize.obb import oriented_bounding_box_clustered
+
+        box = oriented_bounding_box_clustered(
+            aligned, min_cluster_size=cfg.rg_min_cluster)
+    else:
+        box = oriented_bounding_box(aligned)
 
     metrics = {
         "scene_points": feats.cloud.count(),

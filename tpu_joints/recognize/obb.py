@@ -8,6 +8,7 @@ then quaternion → Euler angles folded into ±90°.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -58,3 +59,47 @@ def oriented_bounding_box(cloud: Cloud) -> OBB:
     euler = fold_euler_90(quaternion_to_euler(q))
     return OBB(position=position, rotation=R, extents=extents,
                euler=euler, centroid=centroid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "smoothness_deg", "curvature_threshold",
+                     "min_cluster_size"),
+)
+def oriented_bounding_box_clustered(
+    cloud: Cloud,
+    k: int = 30,
+    smoothness_deg: float = 5.0,
+    curvature_threshold: float = 5.0,
+    min_cluster_size: int = 50,
+) -> OBB:
+    """OBB of the LARGEST smooth cluster of ``cloud`` — the reference's
+    pre-step (``SHOT_demo.cpp:697-740``): it re-estimates k=30 normals on
+    the aligned model, region-grows (smoothness 5°, curvature 5.0,
+    min size 500), and fits the box to the dominant cluster only, so a
+    partially-occluded or mis-trimmed alignment doesn't skew the box with
+    stray points. PCL's ``extract`` yields the lowest-curvature-seed
+    cluster first and the reference keeps ``j==0``; at joint geometry that
+    is the dominant smooth cylinder body, which the size-argmax below
+    selects deterministically (no seed-order dependence).
+
+    Falls back to the whole cloud when no cluster reaches
+    ``min_cluster_size`` (an all-edge alignment must still produce a box).
+    """
+    from tpu_joints.features.normals import estimate_normals
+    from tpu_joints.segment.region_growing import region_growing
+
+    normals, curvature = estimate_normals(cloud, k=k, allow_pallas=False)
+    clusters = region_growing(
+        cloud, normals, curvature, k=k,
+        smoothness_deg=smoothness_deg,
+        curvature_threshold=curvature_threshold,
+        min_cluster_size=min_cluster_size,
+    )
+    # sizes is label-indexed; invalid labels carry 0 lanes ⇒ argmax is the
+    # largest surviving cluster. Guard the no-cluster case with the mask.
+    best_label = jnp.argmax(clusters.sizes)
+    in_best = clusters.labels == best_label.astype(jnp.int32)
+    has_cluster = jnp.any(in_best & cloud.mask)
+    keep = jnp.where(has_cluster, in_best & cloud.mask, cloud.mask)
+    return oriented_bounding_box(cloud.with_mask(keep))
