@@ -60,6 +60,20 @@ def test_grid_no_neighbors(rng):
     assert not np.asarray(valid).any()
 
 
+def test_grid_query_chunk_matches_unchunked(rng):
+    """query_chunk streams queries through lax.map — results must equal the
+    one-shot path exactly, including the ragged final block's padding."""
+    xyz, _ = joint_points(rng, n_chord=900, n_stub=500)
+    cloud = make_cloud(xyz, capacity=2048)
+    q = cloud.xyz[:300]  # 300 % 128 != 0: exercises the pad-and-trim path
+    grid = build_grid(cloud.xyz, cloud.mask, cell_size=0.05)
+    ref = grid_radius_neighbors(grid, q, 0.05, 32, bucket_cap=64)
+    got = grid_radius_neighbors(grid, q, 0.05, 32, bucket_cap=64,
+                                query_chunk=128)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 def test_grid_bucket_occupancy_at_bench_scale(rng):
     """VERDICT weak item 6: the grid's approximation contract at real
     working-set scale. At the pipeline's operating point (cell = radius,

@@ -104,21 +104,38 @@ def _max_cell_occupancy(hashes: jnp.ndarray, table_size: int) -> jnp.ndarray:
     return jnp.max(counts)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "bucket_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("k_max", "bucket_cap", "query_chunk"))
 def grid_radius_neighbors(
     grid: VoxelGrid,
     query: jnp.ndarray,
     radius: float,
     k_max: int,
     bucket_cap: int = 32,
+    query_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-radius search through the grid (radius must be ≤ cell_size).
 
     Returns (idx int32[M, k_max] — ORIGINAL point indices, valid bool,
     dist_sq f32), the same contract as ``bruteforce.radius_neighbors``
     (keeps the nearest k_max within the radius).
+
+    ``query_chunk`` > 0 streams queries in blocks of that size (lax.map):
+    the candidate window [chunk, 27·bucket_cap, 3] is the peak live
+    buffer, so large query sets don't materialize hundreds of MB of
+    gathered candidates at once (8192 queries × cap 160 would be ~425 MB
+    unchunked — measured OOM on v5e).
     """
     M = query.shape[0]
+    if query_chunk and M > query_chunk:
+        pad = (-M) % query_chunk
+        qp = jnp.pad(query, ((0, pad), (0, 0)), constant_values=1.0e9)
+        blocks = qp.reshape(-1, query_chunk, 3)
+        idx, valid, dist_sq = jax.lax.map(
+            lambda qb: grid_radius_neighbors(
+                grid, qb, radius, k_max, bucket_cap=bucket_cap), blocks)
+        flat = lambda a: a.reshape(-1, a.shape[-1])[:M]
+        return flat(idx), flat(valid), flat(dist_sq)
     qcell = jnp.floor(query / grid.cell_size).astype(jnp.int32)  # [M, 3]
     cells = qcell[:, None, :] + _OFFSETS[None, :, :]             # [M, 27, 3]
     h = _cell_hash(cells, grid.table_size)                        # [M, 27]
