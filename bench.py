@@ -3,22 +3,30 @@
 The reference's live path starts from a full 640×480 organized sensor cloud
 (307,200 points — ``ROS_server.cpp:2138``, ``crop_pcd.cpp:76-77``) and runs
 NaN filtering, normal estimation, downsampling, SHOT-352 against a 42-view
-bank, Hough grouping, and ICP refinement (``SHOT.cpp:204-523``). This
-benchmark measures that complete chain on one TPU chip:
+bank, Hough grouping, and ICP refinement (``SHOT.cpp:204-523``). Its most
+complete drivers additionally crop the scene first: dominant-plane removal
++ region growing + per-cluster curvature filtering
+(``SHOT_demo.cpp:282-400``, ``segmentation.cpp:94-110``). One run of this
+benchmark measures BOTH chains on one TPU chip, plus the pipelined serving
+rate, and sweeps pose×noise robustness:
 
-  640×480 organized cloud (dense analytic raycast of the joint)
-    → on-device ingest: integral-image normals + uniform downsample
-      to a 32k working set                      (pipelines.ingest)
+  640×480 organized cloud (dense analytic raycast, σ=0.5 mm depth noise)
+    → on-device ingest: stencil normals + per-tile downsample
+      [+ lattice plane removal / region growing / curvature filter]
     → detect: keypoints → SHOT-352 → match all 42 views → Hough → batched
-      ICP → composed pose                       (pipelines.detect)
+      ICP → composed full-CAD pose             (pipelines.detect)
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
-< 50 ms/scene. Prints ONE JSON line:
-  {"metric": "scene_latency", "value": <ms>, "unit": "ms",
-   "vs_baseline": <50/value>}   — vs_baseline > 1 beats the target.
+< 50 ms/scene. Prints THREE JSON lines (vs_baseline > 1 beats the target):
+  {"metric": "scene_latency", "value": <ms>, "unit": "ms", ...}
+  {"metric": "scene_latency_segmented", "value": <ms>, "unit": "ms", ...}
+  {"metric": "scene_throughput", "value": <fps>, "unit": "frames/s", ...}
+and a robustness-sweep summary (worst-case rot/trans error over 5
+pose×noise draws) on stderr.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -38,42 +46,43 @@ TARGET_MS = 50.0
 # BENCH_SMALL=1 shrinks the problem for CI/CPU smoke-validation of the
 # script itself; headline numbers come from the full-size TPU run.
 SMALL = os.environ.get("BENCH_SMALL") == "1"
-# BENCH_SEGMENT=1 adds the reference's region-growing scene crop to the
-# timed chain (SHOT_demo.cpp:282-400) and a workshop-table rectangle to the
-# raycast scene, so the segmentation stage is timed at full sensor scale.
-SEGMENT = os.environ.get("BENCH_SEGMENT") == "1"
-# BENCH_THROUGHPUT=1 measures the pipelined serving rate instead of
-# single-frame latency: frames are dispatched back-to-back without host
-# syncs between them, so the ~30 ms control-channel roundtrip of this
-# environment's remote TPU attachment amortizes away and the number
-# approaches pure device compute (the steady-state of a streaming server).
-THROUGHPUT = os.environ.get("BENCH_THROUGHPUT") == "1"
+# Optional single-section runs (BENCH_ONLY=latency|segment|throughput|sweep)
+# for profiling; the default runs everything.
+ONLY = os.environ.get("BENCH_ONLY", "")
 
 
-def _bench_pose() -> np.ndarray:
-    """A fixed, well-conditioned pose: both chord and stub clearly visible."""
-    ay, ax = np.radians(35.0), np.radians(-20.0)
+def _pose(ay_deg: float, ax_deg: float, t) -> np.ndarray:
+    ay, ax = np.radians(ay_deg), np.radians(ax_deg)
     Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
                    [-np.sin(ay), 0, np.cos(ay)]], np.float32)
     Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)],
                    [0, np.sin(ax), np.cos(ax)]], np.float32)
     T = np.eye(4, dtype=np.float32)
     T[:3, :3] = Rx @ Ry
-    T[:3, 3] = np.array([0.02, -0.03, 1.0], np.float32)
+    T[:3, 3] = np.asarray(t, np.float32)
     return T
 
 
-def build_problem():
-    from tpu_joints.config import DetectionConfig
-    from tpu_joints.modelbank import build_bank
-    from tpu_joints.serve.depth import raycast_cylinders
+def _bench_pose() -> np.ndarray:
+    """A fixed, well-conditioned pose: both chord and stub clearly visible."""
+    return _pose(35.0, -20.0, [0.02, -0.03, 1.0])
 
-    W, H = (320, 240) if SMALL else (640, 480)
-    # one working-set point per BLOCK×BLOCK pixel tile (≈7 mm at 1 m for the
-    # full frame; SMALL halves the image so BLOCK halves too, keeping the
-    # working-set density — and hence SHOT support occupancy — identical)
-    BLOCK = 2 if SMALL else 4
-    cfg = DetectionConfig(
+
+# pose×noise sweep grid (VERDICT round-3 item 8): all keep both cylinders
+# in view; seeds vary the depth-noise draw
+SWEEP = [
+    (_pose(35.0, -20.0, [0.02, -0.03, 1.0]), 42),
+    (_pose(-30.0, 15.0, [-0.04, 0.02, 0.95]), 1),
+    (_pose(55.0, -10.0, [0.00, 0.05, 1.10]), 2),
+    (_pose(20.0, 25.0, [0.05, -0.05, 0.90]), 3),
+    (_pose(-15.0, -30.0, [-0.03, 0.00, 1.05]), 4),
+]
+
+
+def _make_config():
+    from tpu_joints.config import DetectionConfig
+
+    return DetectionConfig(
         descriptor="shot",
         descr_rad=0.06,
         model_ss=0.02,
@@ -108,14 +117,13 @@ def build_problem():
         # pool with two high-vote flips, pushing the true pose out
         max_instances_per_view=1,
         # 2560 lanes: the 640x480/BLOCK=4 working set is ~2420 points,
-        # so 3072 was 25% padding riding through every NN matmul column
-        scene_capacity=(2560 if not SMALL else 3072) if not SEGMENT else 8192,
-        scene_key_capacity=(512 if SMALL else 1024) if SEGMENT else (256 if SMALL else 512),
-        # SEGMENT: the surviving table floods the vote ranking — the true
-        # pose can sit deep in the peak list (measured rank 5 at small
-        # scale), so the ranked-candidate field and key budget both widen
-        segment_scene=SEGMENT,
-        remove_plane=SEGMENT,   # segmentation.cpp:94-110 table removal
+        # so 3072 was 25% padding riding through every NN matmul column.
+        # The segmented chain runs at the SAME capacity: its lattice crop
+        # removes the table BEFORE compaction (pipelines.ingest), so the
+        # working set is the same joint surface — and both chains share
+        # one set of compiled detect executables.
+        scene_capacity=3072 if SMALL else 2560,
+        scene_key_capacity=256 if SMALL else 512,
         # region-growing gates at this sensor's working density (~7 mm at
         # 1 m): stub adjacent-normal steps ≈ 8°, so 7° would shatter it;
         # cylinder window curvature ≈ 0.02-0.05, so 0.04 would drop the
@@ -123,22 +131,28 @@ def build_problem():
         rg_smoothness_deg=12.0,
         cluster_max_curvature=0.08,
         rg_max_edge=0.05,
+        # the lattice front end does plane removal + region growing itself
+        # (ingest_organized_segmented reads these flags); detect gets a
+        # copy with both turned off (det_cfg below)
+        remove_plane=True,
+        segment_scene=True,
         # k_max must cover most of the descr_rad support at the working-set
         # density (~200 points in a 60 mm sphere at 7 mm spacing): 32 was
         # enough to truncate SHOT into noise and lose the detection
         k_max=96,
     )
 
-    # Synthetic pipe joint at the reference's physical scale (chord r=0.08 m,
-    # stub r=0.05 m — see tests/util.joint_points and SURVEY.md §0).
+
+def _joint_model():
+    """Synthetic pipe joint at the reference's physical scale (chord
+    r=0.08 m, stub r=0.05 m inclined 30° — a perpendicular T-joint is
+    symmetric under 180° about the stub axis, which makes the ground-truth
+    pose ambiguous; the incline breaks it. See tests/util.joint_points."""
     rng = np.random.default_rng(7)
     n_chord, n_stub = (3_000, 1_800) if SMALL else (40_000, 24_000)
     theta = rng.uniform(0, 2 * np.pi, n_chord)
     h = rng.uniform(-0.3, 0.3, n_chord)
     chord = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)], 1)
-    # stub inclined 30° (tests/util.joint_points geometry): a perpendicular
-    # T-joint is symmetric under 180° about the stub axis, which makes the
-    # ground-truth pose ambiguous — the incline breaks it
     theta2 = rng.uniform(0, 2 * np.pi, n_stub)
     h2 = rng.uniform(-0.15, 0.15, n_stub)
     stub_local = np.stack([0.05 * np.cos(theta2), 0.05 * np.sin(theta2), h2], 1)
@@ -146,10 +160,53 @@ def build_problem():
     R30 = np.array([[np.cos(a30), 0, np.sin(a30)], [0, 1, 0],
                     [-np.sin(a30), 0, np.cos(a30)]], np.float32)
     stub = stub_local @ R30.T + np.array([0, 0, 0.23], np.float32)
-    model_xyz = np.concatenate([chord, stub]).astype(np.float32)
+    return np.concatenate([chord, stub]).astype(np.float32)
 
+
+_CYL_A30 = np.radians(30.0)
+_CYLINDERS = [
+    (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
+    (np.array([0.0, 0.0, 0.23]),
+     np.array([np.sin(_CYL_A30), 0.0, np.cos(_CYL_A30)]), 0.05, 0.15),
+]
+# workshop-table rectangle behind the joint (model +z points away from the
+# camera under _bench_pose, so "behind" is past the stub tip at z=0.38):
+# a large smooth plane like the reference's bench top — the segmented
+# chain must remove it (segmentation.cpp:94-110)
+_TABLE = [(np.array([0.0, 0.0, 0.45]),
+           np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+           0.35, 0.35)]
+
+
+def _frame(T_pose: np.ndarray, seed: int, with_table: bool):
+    """Dense analytic raycast of the joint (+ optional table) with
+    realistic depth noise (σ = 0.5 mm along the ray, deterministic): a
+    benchmark that only detects on an analytically clean frame is overfit
+    — real sensors deliver mm-scale depth jitter."""
+    from tpu_joints.serve.depth import raycast_cylinders
+
+    W, H = (320, 240) if SMALL else (640, 480)
+    xyz_img = raycast_cylinders(_CYLINDERS, T_pose, width=W, height=H,
+                                rects=_TABLE if with_table else [])
+    valid = np.isfinite(xyz_img).all(axis=-1)
+    rnoise = np.random.default_rng(seed)
+    sigma = rnoise.normal(0.0, 5e-4, (H, W)).astype(np.float32)
+    with np.errstate(invalid="ignore"):
+        xyz_img = xyz_img * (
+            1.0 + sigma / np.maximum(xyz_img[..., 2], 0.1))[..., None]
+    return np.nan_to_num(xyz_img), valid
+
+
+def build_problem(with_table: bool = False):
+    """(xyz_img, valid, bank, cfg, block, T_pose) — kept as the shared
+    problem-builder entry for profiling scripts."""
+    from tpu_joints.modelbank import build_bank
+
+    cfg = _make_config()
+    T_pose = _bench_pose()
+    xyz_img, valid = _frame(T_pose, 42, with_table)
     bank = build_bank(
-        model_xyz,
+        _joint_model(),
         descriptor=cfg.descriptor,
         descr_radius=cfg.descr_rad,
         rf_radius=cfg.rf_rad,
@@ -166,84 +223,131 @@ def build_problem():
         key_capacity=64 if SMALL else 256,
         icp_capacity=1024 if SMALL else 2048,
     )
+    return xyz_img, valid, bank, cfg, (2 if SMALL else 4), T_pose
 
-    # The raw sensor frame: dense analytic raycast of the joint's cylinders
-    # (every surface pixel carries depth, like the real 640×480 stream).
-    T_pose = _bench_pose()
-    cylinders = [
-        (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
-        (np.array([0.0, 0.0, 0.23]),
-         np.array([np.sin(a30), 0.0, np.cos(a30)]), 0.05, 0.15),
-    ]
-    rects = []
-    if SEGMENT:
-        # workshop-table rectangle behind the joint (model +z points away
-        # from the camera under _bench_pose, so "behind" is past the stub
-        # tip at z=0.38): survives the curvature filter like the
-        # reference's bench top, so the crop + matching must cope with it
-        rects.append((np.array([0.0, 0.0, 0.45]),
-                      np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
-                      0.35, 0.35))
-    xyz_img = raycast_cylinders(cylinders, T_pose, width=W, height=H,
-                                rects=rects)
-    valid = np.isfinite(xyz_img).all(axis=-1)
-    # realistic depth noise (σ = 0.5 mm along the ray, deterministic):
-    # a benchmark that only detects on an analytically clean frame is
-    # overfit — real sensors deliver mm-scale depth jitter
-    rnoise = np.random.default_rng(42)
-    sigma = rnoise.normal(0.0, 5e-4, (H, W)).astype(np.float32)
-    with np.errstate(invalid="ignore"):
-        xyz_img = xyz_img * (1.0 + sigma / np.maximum(xyz_img[..., 2], 0.1))[..., None]
-    return np.nan_to_num(xyz_img), valid, bank, cfg, BLOCK, T_pose
+
+def _err(T_est: np.ndarray, T_gt: np.ndarray):
+    Rd = T_est[:3, :3] @ T_gt[:3, :3].T
+    rot = float(np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1))))
+    trans = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    return rot, trans
+
+
+_ADD_MODEL = None
+
+
+def _add_err(T_est: np.ndarray, T_gt: np.ndarray) -> float:
+    """Pose ADD metric (BASELINE.json): mean distance between the model
+    points placed at the estimated vs ground-truth pose."""
+    global _ADD_MODEL
+    if _ADD_MODEL is None:
+        _ADD_MODEL = _joint_model()[::16]  # ~4k points is plenty for a mean
+    a = _ADD_MODEL @ T_est[:3, :3].T + T_est[:3, 3]
+    b = _ADD_MODEL @ T_gt[:3, :3].T + T_gt[:3, 3]
+    return float(np.linalg.norm(a - b, axis=1).mean())
 
 
 def main():
+    import dataclasses
+
     import jax.numpy as jnp
 
     from tpu_joints.pipelines.detect import detect
-    from tpu_joints.pipelines.ingest import ingest_organized_blocks
+    from tpu_joints.pipelines.ingest import (
+        ingest_organized_blocks, ingest_organized_segmented)
 
     xyz_img_h, valid_h, bank, cfg, block, T_pose = build_problem()
-    xyz_img = jnp.asarray(xyz_img_h)
-    valid = jnp.asarray(valid_h)
+    seg_img_h, seg_valid_h = _frame(T_pose, 42, with_table=True)
+    xyz_img, valid = jnp.asarray(xyz_img_h), jnp.asarray(valid_h)
+    seg_img, seg_valid = jnp.asarray(seg_img_h), jnp.asarray(seg_valid_h)
     half_window = 3 if SMALL else 5
 
     # the reference crops the work volume before anything else
-    # (crop_pcd.cpp:109-127 PassThrough chain); the SEGMENT variant keeps
-    # that order — crop box spans the joint plus the near table strip, so
-    # region growing still has real clutter to reason about
-    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32) if SEGMENT else None
-    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32) if SEGMENT else None
+    # (crop_pcd.cpp:109-127 PassThrough chain); the crop box spans the
+    # joint plus the near table strip, so the segmented chain still has
+    # real clutter to remove
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    # detect never re-segments: the lattice front end owns the crop chain
+    det_cfg = dataclasses.replace(cfg, segment_scene=False,
+                                  remove_plane=False)
 
-    def run():
+    def run(img=xyz_img, vmask=valid):
         scene, normals, curvature, n_sel = ingest_organized_blocks(
-            xyz_img, valid, block=block, half_window=half_window,
+            img, vmask, block=block, half_window=half_window,
             capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi)
-        return detect(scene, bank, cfg, scene_normals=normals,
+        return detect(scene, bank, det_cfg, scene_normals=normals,
                       scene_curvature=curvature), n_sel
 
-    res, n_sel = run()  # compile + warm
-    jax.block_until_ready(res.full_pose)
-    res, n_sel = run()
-    jax.block_until_ready(res.full_pose)
+    def run_segmented(img=seg_img, vmask=seg_valid):
+        scene, normals, curvature, n_sel = ingest_organized_segmented(
+            img, vmask, cfg, block=block, half_window=half_window,
+            crop_lo=crop_lo, crop_hi=crop_hi)
+        return detect(scene, bank, det_cfg, scene_normals=normals,
+                      scene_curvature=curvature), n_sel
 
-    if THROUGHPUT:
+    def timed(fn, label):
+        res, n_sel = fn()  # compile + warm
+        jax.block_until_ready(res.full_pose)
+        res, n_sel = fn()
+        jax.block_until_ready(res.full_pose)
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            res, _ = fn()
+            jax.block_until_ready(res.full_pose)
+            times.append((time.perf_counter() - t0) * 1000.0)
+        ms = float(np.median(times))
+        print(json.dumps({
+            "metric": label,
+            "value": round(ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(TARGET_MS / ms, 3),
+        }))
+        rot_err, trans_err = _err(np.asarray(res.full_pose), T_pose)
+        add_err = _add_err(np.asarray(res.full_pose), T_pose)
+        if os.environ.get("BENCH_DEBUG"):
+            from tpu_joints.core.transforms import compose as _compose
+            full = np.asarray(jax.vmap(_compose)(
+                res.cand_poses, bank.poses[res.cand_views]))
+            for c in range(full.shape[0]):
+                r, t_ = _err(full[c], T_pose)
+                print(f"#   cand{c:2d} view={int(res.cand_views[c]):2d} "
+                      f"valid={bool(res.cand_valid[c])} "
+                      f"fit={float(res.cand_fitness[c]):.3e} "
+                      f"rot={r:7.2f} trans={t_ * 1000:7.1f}", file=sys.stderr)
+        print(
+            f"# {label}: device={jax.devices()[0].device_kind} "
+            f"working_set={int(n_sel)} fitness={float(res.fitness):.2e} "
+            f"accepted={bool(res.accepted)} rot_err={rot_err:.2f}deg "
+            f"trans_err={trans_err*1000:.1f}mm add={add_err*1000:.1f}mm "
+            f"min={min(times):.1f}ms max={max(times):.1f}ms",
+            file=sys.stderr,
+        )
+        return ms
+
+    if ONLY in ("", "latency"):
+        timed(run, "scene_latency")
+    if ONLY in ("", "segment"):
+        timed(run_segmented, "scene_latency_segmented")
+
+    if ONLY in ("", "throughput"):
         # steady-state serving rate: N frames in flight, one final sync.
         # Each frame gets a (cheap, device-side) distinct input so no
-        # caching shortcut exists; the fitness fetch at the end depends on
-        # every frame's compute.
+        # caching shortcut exists; the pose fetch at the end depends on
+        # every frame's compute. The ~30 ms control-channel roundtrip of
+        # this environment's remote TPU attachment amortizes away, so the
+        # number approaches pure device compute (the steady-state of a
+        # streaming server — BASELINE.json's scenes/sec metric).
+        run()  # ensure warm
         N = 4 if SMALL else 30
         jitter = [jnp.asarray(np.random.default_rng(i).normal(
             0, 1e-4, xyz_img_h.shape).astype(np.float32)) for i in range(4)]
         results = []
         t0 = time.perf_counter()
         for i in range(N):
-            scene, normals, curvature, _ = ingest_organized_blocks(
-                xyz_img + jitter[i % 4], valid, block=block,
-                half_window=half_window, capacity=cfg.scene_capacity,
-                crop_lo=crop_lo, crop_hi=crop_hi)
-            results.append(detect(scene, bank, cfg, scene_normals=normals,
-                                  scene_curvature=curvature))
+            res, _ = run(xyz_img + jitter[i % 4], valid)
+            results.append(res)
         jax.block_until_ready([r.full_pose for r in results])
         ms = (time.perf_counter() - t0) * 1000.0 / N
         assert all(bool(r.accepted) for r in results[:2]), "pipeline broke"
@@ -255,34 +359,69 @@ def main():
         }))
         print(f"# pipelined {N} frames, amortized {ms:.1f} ms/frame",
               file=sys.stderr)
-        return
 
-    times = []
-    for _ in range(10):
+    if ONLY in ("", "descriptors"):
+        # SHOT descriptors/sec (BASELINE.json's stated metric): the full
+        # descriptor stage — radius support gather + LRF + separable
+        # quadrilinear SHOT-352 — at the pipeline's working shapes
+        from tpu_joints.features.shot import compute_shot
+
+        scene, normals, _, _ = ingest_organized_blocks(
+            xyz_img, valid, block=block, half_window=half_window,
+            capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi)
+        from tpu_joints.filters import compact_cloud, uniform_sample_mask
+
+        keys, _ = compact_cloud(scene, uniform_sample_mask(scene, cfg.scene_ss),
+                                cfg.scene_key_capacity)
+        shot = jax.jit(functools.partial(
+            compute_shot, radius=cfg.descr_rad, k_max=cfg.k_max))
+        out = shot(keys, scene, normals)
+        jax.block_until_ready(out[0])
+        reps = 3 if SMALL else 10
         t0 = time.perf_counter()
-        res, _ = run()
-        jax.block_until_ready(res.full_pose)
-        times.append((time.perf_counter() - t0) * 1000.0)
-    ms = float(np.median(times))
+        for _ in range(reps):
+            out = shot(keys, scene, normals)
+        jax.block_until_ready(out[0])
+        per_desc = (time.perf_counter() - t0) / (reps * cfg.scene_key_capacity)
+        print(json.dumps({
+            "metric": "shot_descriptors_per_sec",
+            "value": round(1.0 / per_desc, 1),
+            "unit": "desc/s",
+            # no reference number exists (BASELINE.md publishes none); scale
+            # against the latency target's descriptor share instead: the
+            # scene's key budget at 50 ms/scene
+            "vs_baseline": round((1.0 / per_desc)
+                                 / (cfg.scene_key_capacity / 0.05), 3),
+        }))
 
-    print(json.dumps({
-        "metric": "scene_latency" if not SEGMENT else "scene_latency_segmented",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(TARGET_MS / ms, 3),
-    }))
-    T_est = np.asarray(res.full_pose)
-    Rd = T_est[:3, :3] @ T_pose[:3, :3].T
-    rot_err = float(np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1))))
-    trans_err = float(np.linalg.norm(T_est[:3, 3] - T_pose[:3, 3]))
-    print(
-        f"# device={jax.devices()[0].device_kind} raw_points={int(valid_h.sum())} "
-        f"working_set={int(n_sel)} fitness={float(res.fitness):.2e} "
-        f"accepted={bool(res.accepted)} rot_err={rot_err:.2f}deg "
-        f"trans_err={trans_err*1000:.1f}mm "
-        f"min={min(times):.1f}ms max={max(times):.1f}ms",
-        file=sys.stderr,
-    )
+    if ONLY in ("", "sweep"):
+        # robustness acceptance: 5 pose×noise draws through the DEFAULT
+        # chain (the sweep reuses the compiled executables; only the host
+        # raycast differs per pose)
+        errs = []
+        for T_i, seed in (SWEEP[:2] if SMALL else SWEEP):
+            img_h, v_h = _frame(T_i, seed, with_table=False)
+            res, _ = run(jnp.asarray(img_h), jnp.asarray(v_h))
+            jax.block_until_ready(res.full_pose)
+            rot, trans = _err(np.asarray(res.full_pose), T_i)
+            adde = _add_err(np.asarray(res.full_pose), T_i)
+            errs.append((rot, trans, bool(res.accepted), adde))
+        rots = [e[0] for e in errs]
+        trs = [e[1] for e in errs]
+        adds = [e[3] for e in errs]
+        ok = all(e[2] for e in errs)
+        print(
+            f"# sweep: {len(errs)} pose×noise draws, all_accepted={ok} "
+            f"rot_err=[{min(rots):.2f},{max(rots):.2f}]deg "
+            f"trans_err=[{min(trs)*1000:.1f},{max(trs)*1000:.1f}]mm "
+            f"add=[{min(adds)*1000:.1f},{max(adds)*1000:.1f}]mm",
+            file=sys.stderr,
+        )
+        # SMALL is script smoke-validation only: the shrunken bank (12
+        # views at resolution 64) leaves pose margins thin enough that
+        # fp-level compile differences flip marginal candidates — the
+        # full-size run is the acceptance gate
+        assert ok or SMALL, f"sweep rejection: {errs}"
 
 
 if __name__ == "__main__":

@@ -27,7 +27,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("BENCH_SEGMENT", "1")
 import bench
 
 
@@ -51,7 +50,8 @@ def main():
     from tpu_joints.pipelines.ingest import ingest_organized_blocks
     from tpu_joints.segment import region_growing
 
-    xyz_img_h, valid_h, bank, cfg, block, T_pose = bench.build_problem()
+    xyz_img_h, valid_h, bank, cfg, block, T_pose = bench.build_problem(
+        with_table=True)
     xyz_img = jnp.asarray(xyz_img_h)
     valid = jnp.asarray(valid_h)
     crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)

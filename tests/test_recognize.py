@@ -289,3 +289,34 @@ def test_icp_bad_init_convergence_regime(rng):
         t = float(np.linalg.norm(np.asarray(T)[:3, 3]))
         assert a < 1.0 and t < 0.005, f"{n} iters: {a:.2f}deg {t*1000:.1f}mm"
     assert float(fit30) <= 1.2 * float(fit100) + 1e-12
+
+
+def test_scene_coverage_discriminates_flip(rng):
+    """The scene→model coverage term must separate a 180° chord-axis flip
+    from the true pose by orders of magnitude, where the model→scene
+    fitness (the reference's score2) barely separates them — the CAD's
+    occluded back dominates score2 for both poses alike."""
+    from tpu_joints.recognize.icp import fitness_multi, scene_coverage_multi
+
+    model_xyz, _ = joint_points(rng, n_chord=2000, n_stub=1200)
+    # camera at -y: the scene is the joint's camera-facing half
+    front = model_xyz[model_xyz[:, 1] < 0.0]
+    T_true = np.eye(4, dtype=np.float32)
+    # 180° about the chord (x) axis: chord maps to itself, the stub flips
+    # to the occluded side — the classic near-symmetry failure mode
+    T_flip = np.diag(np.array([1.0, -1.0, -1.0, 1.0], np.float32))
+    scene = make_cloud(front, capacity=2048)
+    Ts = jnp.stack([jnp.asarray(T_true), jnp.asarray(T_flip)])
+
+    cov = np.asarray(scene_coverage_multi(
+        scene, jnp.asarray(model_xyz),
+        jnp.ones(model_xyz.shape[0], bool), Ts, clip=0.05))
+    fit = np.asarray(fitness_multi(
+        jnp.asarray(model_xyz), jnp.ones(model_xyz.shape[0], bool),
+        scene, Ts))
+    # coverage: true pose explains every scene point; the flip strands the
+    # scene's stub entirely
+    assert cov[0] < 1e-5, cov
+    assert cov[1] > 30.0 * max(cov[0], 1e-7), cov
+    # score2 alone is the weak discriminator this term exists to fix
+    assert fit[1] < 10.0 * fit[0], fit

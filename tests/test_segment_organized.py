@@ -1,0 +1,266 @@
+"""Lattice region growing + the fused organized segmentation front end.
+
+The pipeline's raw-sensor path segments on the tile lattice
+(``segment.organized.region_growing_lattice`` +
+``pipelines.ingest.ingest_organized_segmented``) instead of building a kNN
+graph — these tests pin the lattice semantics against analytic cases and
+against the generic kNN-graph path on the same raycast frame, then prove
+the fused front end end to end (table removed, joint kept, pose found)
+mirroring the reference chain ``SHOT_demo.cpp:282-400`` +
+``segmentation.cpp:94-110``.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_joints.config import DetectionConfig
+from tpu_joints.segment.organized import region_growing_lattice
+
+
+def _flat_lattice(H, W, z):
+    """xyz [H, W, 3] of a fronto-parallel plane sampled at 1 cm pitch."""
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    xyz = np.stack([xs * 0.01, ys * 0.01, np.full((H, W), z)], -1)
+    return xyz.astype(np.float32)
+
+
+def test_lattice_splits_on_depth_discontinuity():
+    """Two parallel planes at different depths: image-adjacent but 3-D
+    distant — max_edge must sever the boundary, giving two clusters."""
+    H, W = 16, 32
+    xyz = _flat_lattice(H, W, 1.0)
+    xyz[:, W // 2:, 2] = 1.2  # 20 cm jump
+    normals = np.zeros((H, W, 3), np.float32)
+    normals[..., 2] = -1.0
+    curv = np.zeros((H, W), np.float32)
+    valid = np.ones((H, W), bool)
+    out = region_growing_lattice(
+        jnp.asarray(xyz), jnp.asarray(normals), jnp.asarray(curv),
+        jnp.asarray(valid), smoothness_deg=10.0, curvature_threshold=1.0,
+        min_cluster_size=5, max_edge=0.05)
+    labels = np.asarray(out.labels).reshape(H, W)
+    left = set(labels[:, : W // 2].ravel().tolist())
+    right = set(labels[:, W // 2:].ravel().tolist())
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+    assert -1 not in left | right
+
+
+def test_lattice_seed_gate_blocks_propagation():
+    """A high-curvature column can RECEIVE a label but never seed across —
+    PCL's directed growth rule: the region stops at the rough band."""
+    H, W = 12, 30
+    xyz = _flat_lattice(H, W, 1.0)
+    normals = np.zeros((H, W, 3), np.float32)
+    normals[..., 2] = -1.0
+    curv = np.zeros((H, W), np.float32)
+    band = W // 2
+    curv[:, band] = 9.0  # above the threshold: receives, never seeds
+    valid = np.ones((H, W), bool)
+    out = region_growing_lattice(
+        jnp.asarray(xyz), jnp.asarray(normals), jnp.asarray(curv),
+        jnp.asarray(valid), smoothness_deg=10.0, curvature_threshold=1.0,
+        min_cluster_size=5, max_edge=0.05)
+    labels = np.asarray(out.labels).reshape(H, W)
+    left = set(labels[:, :band].ravel().tolist())
+    right = set(labels[:, band + 1:].ravel().tolist())
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # the band itself joins the left region (it received the growth front)
+    assert set(labels[:, band].ravel().tolist()) == left
+
+
+def test_lattice_min_cluster_size_filter():
+    H, W = 8, 16
+    xyz = _flat_lattice(H, W, 1.0)
+    normals = np.zeros((H, W, 3), np.float32)
+    normals[..., 2] = -1.0
+    curv = np.zeros((H, W), np.float32)
+    valid = np.zeros((H, W), bool)
+    valid[:, :12] = True       # 96 nodes: big cluster
+    valid[2:4, 14:16] = True   # 4 isolated nodes: undersized
+    out = region_growing_lattice(
+        jnp.asarray(xyz), jnp.asarray(normals), jnp.asarray(curv),
+        jnp.asarray(valid), smoothness_deg=10.0, curvature_threshold=1.0,
+        min_cluster_size=10, max_edge=0.02)
+    labels = np.asarray(out.labels).reshape(H, W)
+    assert (labels[:, :12] >= 0).all()
+    assert (labels[2:4, 14:16] == -1).all()
+    assert (labels[~np.asarray(valid)] == -1).all()
+
+
+def _raycast_frame(segment_table=True):
+    """Small organized frame of the bench joint (+ optional table rect)."""
+    from tpu_joints.serve.depth import raycast_cylinders
+
+    a30 = np.radians(30.0)
+    cylinders = [
+        (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
+        (np.array([0.0, 0.0, 0.23]),
+         np.array([np.sin(a30), 0.0, np.cos(a30)]), 0.05, 0.15),
+    ]
+    rects = []
+    if segment_table:
+        rects.append((np.array([0.0, 0.0, 0.45]),
+                      np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                      0.35, 0.35))
+    ay, ax = np.radians(35.0), np.radians(-20.0)
+    Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                   [-np.sin(ay), 0, np.cos(ay)]], np.float32)
+    Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)],
+                   [0, np.sin(ax), np.cos(ax)]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rx @ Ry
+    T[:3, 3] = np.array([0.02, -0.03, 1.0], np.float32)
+    xyz_img = raycast_cylinders(cylinders, T, width=320, height=240,
+                                rects=rects)
+    valid = np.isfinite(xyz_img).all(axis=-1)
+    return np.nan_to_num(xyz_img), valid, T
+
+
+def _seg_cfg(**overrides):
+    base = dict(
+        scene_capacity=3072, scene_key_capacity=256, normal_k=16,
+        remove_plane=True, segment_scene=True,
+        rg_smoothness_deg=12.0, rg_max_edge=0.05,
+        cluster_max_curvature=0.08, rg_min_cluster=50,
+    )
+    base.update(overrides)
+    return DetectionConfig(**base)
+
+
+def test_ingest_organized_segmented_removes_table_keeps_joint():
+    from tpu_joints.pipelines.ingest import (
+        ingest_organized_blocks, ingest_organized_segmented)
+
+    xyz_img, valid, _ = _raycast_frame(segment_table=True)
+    cfg = _seg_cfg()
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    scene, normals, curvature, n_sel = ingest_organized_segmented(
+        jnp.asarray(xyz_img), jnp.asarray(valid), cfg, block=2,
+        half_window=3, crop_lo=crop_lo, crop_hi=crop_hi)
+
+    # reference for "how many joint tiles exist": same ingest on the
+    # table-free frame, same tiling, no segmentation
+    xyz_j, valid_j, _ = _raycast_frame(segment_table=False)
+    joint_scene, _, _, n_joint = ingest_organized_blocks(
+        jnp.asarray(xyz_j), jnp.asarray(valid_j), block=2, half_window=3,
+        capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi)
+
+    kept = int(scene.count())
+    nj = int(joint_scene.count())
+    assert kept > 0.7 * nj, f"joint lost: kept {kept} of ~{nj} joint tiles"
+    # the table is a dominant plane at z≈1.33 camera depth (raycast pose
+    # puts it ~0.33 m past the joint): after plane removal + curvature
+    # filtering the survivors must be (nearly) table-free
+    sz = np.asarray(scene.xyz)[np.asarray(scene.mask)]
+    frac_table = float(np.mean(sz[:, 2] > 1.25))
+    assert frac_table < 0.05, f"{frac_table:.0%} of survivors on the table"
+    # normals/curvature line up with the surviving points
+    assert np.isfinite(np.asarray(normals)[np.asarray(scene.mask)]).all()
+    assert (np.linalg.norm(
+        np.asarray(normals)[np.asarray(scene.mask)], axis=1) > 0.9).all()
+
+
+def test_lattice_matches_generic_region_growing_partition():
+    """Same frame, same gates: the lattice components and the generic
+    kNN-graph components must agree as partitions on the joint surface
+    (sampled co-membership), proving the fast path doesn't change the
+    segmentation semantics."""
+    from tpu_joints.pipelines.ingest import ingest_organized_blocks
+    from tpu_joints.segment import region_growing
+
+    xyz_img, valid, _ = _raycast_frame(segment_table=True)
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    # no capacity cut: tiles == lattice nodes, so indices correspond
+    scene, normals, curvature, _ = ingest_organized_blocks(
+        jnp.asarray(xyz_img), jnp.asarray(valid), block=2, half_window=3,
+        capacity=None, crop_lo=crop_lo, crop_hi=crop_hi)
+    Hb, Wb = 120, 160
+
+    lat = region_growing_lattice(
+        scene.xyz.reshape(Hb, Wb, 3), normals.reshape(Hb, Wb, 3),
+        curvature.reshape(Hb, Wb), scene.mask.reshape(Hb, Wb),
+        smoothness_deg=12.0, curvature_threshold=7.0,
+        min_cluster_size=50, max_edge=0.05)
+    gen = region_growing(
+        scene, normals, curvature, k=8, smoothness_deg=12.0,
+        curvature_threshold=7.0, min_cluster_size=50, max_edge=0.05)
+
+    ll = np.asarray(lat.labels)
+    gl = np.asarray(gen.labels)
+    both = (ll >= 0) & (gl >= 0)
+    idx = np.flatnonzero(both)
+    r = np.random.default_rng(3)
+    a = r.choice(idx, 400)
+    b = r.choice(idx, 400)
+    same_lat = ll[a] == ll[b]
+    same_gen = gl[a] == gl[b]
+    agree = float(np.mean(same_lat == same_gen))
+    assert agree > 0.97, f"partition agreement {agree:.2%}"
+    # and the clustered fraction itself is comparable
+    fl, fg = float((ll >= 0).mean()), float((gl >= 0).mean())
+    assert abs(fl - fg) < 0.1 * max(fl, fg) + 0.02, (fl, fg)
+
+
+def test_segmented_ingest_detect_e2e(rng):
+    """The full fused chain at small scale: raycast frame with table →
+    organized segmentation → detect (segmentation flags OFF in detect —
+    the front end already did them) → golden pose."""
+    from tpu_joints.core import transforms as tr
+    from tpu_joints.modelbank import build_bank
+    from tpu_joints.pipelines.detect import detect
+    from tpu_joints.pipelines.ingest import ingest_organized_segmented
+
+    xyz_img, valid, T_gt = _raycast_frame(segment_table=True)
+    cfg = _seg_cfg(
+        descr_rad=0.06, model_ss=0.02, scene_ss=0.02,
+        match_mode="nn", match_threshold=0.25, algorithm="hough",
+        rf_frames="board", rf_rad=0.06, cg_size=0.05, cg_thresh=3.0,
+        icp_iterations=6, icp_point_to_plane=True,
+        icp_max_corr_dist=0.02, icp_max_corr_start=0.2,
+        final_icp_iterations=8, max_candidates=16,
+        max_instances_per_view=1, k_max=96,
+    )
+
+    rngm = np.random.default_rng(7)
+    n_chord, n_stub = 3000, 1800
+    theta = rngm.uniform(0, 2 * np.pi, n_chord)
+    h = rngm.uniform(-0.3, 0.3, n_chord)
+    chord = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)], 1)
+    theta2 = rngm.uniform(0, 2 * np.pi, n_stub)
+    h2 = rngm.uniform(-0.15, 0.15, n_stub)
+    stub_local = np.stack(
+        [0.05 * np.cos(theta2), 0.05 * np.sin(theta2), h2], 1)
+    a30 = np.radians(30.0)
+    R30 = np.array([[np.cos(a30), 0, np.sin(a30)], [0, 1, 0],
+                    [-np.sin(a30), 0, np.cos(a30)]], np.float32)
+    stub = stub_local @ R30.T + np.array([0, 0, 0.23], np.float32)
+    model_xyz = np.concatenate([chord, stub]).astype(np.float32)
+
+    bank = build_bank(
+        model_xyz, descriptor="shot", descr_radius=cfg.descr_rad,
+        rf_radius=cfg.rf_rad, frames="board", sampling_radius=cfg.model_ss,
+        normal_k=cfg.normal_k, k_max=cfg.k_max, level=0, resolution=64,
+        surface_leaf=0.01, key_capacity=64, icp_capacity=1024)
+
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    scene, normals, curvature, _ = ingest_organized_segmented(
+        jnp.asarray(xyz_img), jnp.asarray(valid), cfg, block=2,
+        half_window=3, crop_lo=crop_lo, crop_hi=crop_hi)
+
+    det_cfg = dataclasses.replace(cfg, segment_scene=False,
+                                  remove_plane=False)
+    res = detect(scene, bank, det_cfg, scene_normals=normals,
+                 scene_curvature=curvature)
+    assert bool(res.accepted), (
+        f"fitness={float(res.fitness)}, full={float(res.full_fitness)}")
+    T_est = np.asarray(res.full_pose)
+    ang = float(tr.rotation_geodesic_deg(jnp.asarray(T_gt[:3, :3]),
+                                         jnp.asarray(T_est[:3, :3])))
+    terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    assert ang < 1.5, f"rotation error {ang}°"
+    assert terr < 0.008, f"translation error {terr*1000:.1f} mm"

@@ -241,3 +241,44 @@ def test_server_retries_transient_faults(server_url, service, monkeypatch):
     status, resp = _post(server_url + "/detect", {"points": pts.tolist()})
     assert status == 500
     assert calls["n"] == 1
+
+
+def test_server_segmented_depth_uses_lattice_crop(service, monkeypatch):
+    """With a segmentation-enabled config, depth frames must route through
+    the lattice crop front end (ingest_organized_segmented) and detect must
+    NOT re-run the generic SAC/region-growing chain on the cropped scene
+    (reference chain segmentation.cpp:94-110 + SHOT_demo.cpp:282-400)."""
+    import dataclasses
+
+    import tpu_joints.pipelines.ingest as ingest_mod
+    from tpu_joints.serve.depth import raycast_cylinders
+    from tests.util import joint_cylinders
+
+    seg_cfg = dataclasses.replace(
+        service.cfg, segment_scene=True, remove_plane=True,
+        rg_smoothness_deg=25.0, rg_max_edge=0.08, rg_min_cluster=30,
+        cluster_max_curvature=0.15)
+    svc = DetectionService(service.bank, seg_cfg)
+    assert not svc._organized_cfg.segment_scene
+    assert not svc._organized_cfg.remove_plane
+
+    calls = []
+    real = ingest_mod.ingest_organized_segmented
+
+    def counting(*a, **k):
+        calls.append(a[2])  # the cfg argument
+        return real(*a, **k)
+
+    monkeypatch.setattr(ingest_mod, "ingest_organized_segmented", counting)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.0, 0.0, 1.0]
+    xyz_img = raycast_cylinders(
+        joint_cylinders(), T, width=160, height=120,
+        rects=[(np.array([0.0, 0.0, 0.4]), np.array([1.0, 0.0, 0.0]),
+                np.array([0.0, 1.0, 0.0]), 0.5, 0.5)])
+    depth = np.where(np.isfinite(xyz_img[..., 2]), xyz_img[..., 2], 0.0)
+    out = svc.detect_depth(depth)
+    assert len(calls) == 1, "segmented cfg must use the lattice crop ingest"
+    assert calls[0].segment_scene, "ingest must receive the FULL crop cfg"
+    assert out["metrics"]["scene_points"] > 30

@@ -75,6 +75,19 @@ class DetectionConfig:
     # the matched view cloud's own fitness, which is blind to the chord
     # cylinder's slide/spin symmetry. Ignored for banks without a model.
     select_by_model_fitness: bool = True
+    # add a scene→model coverage term to the candidate ranking: mean
+    # clipped NN distance² of every scene point to the posed full CAD.
+    # The reference ranks by model→scene fitness only, which is flip-blind
+    # on near-symmetric parts (the CAD's occluded back dominates the score
+    # for true and flipped poses alike); scene points are all visible by
+    # construction, so a flip that strands part of the scene unexplained
+    # pays full price (see recognize.icp.scene_coverage_multi). The
+    # acceptance GATE stays on the reference's score2 quantity. False
+    # restores strict reference ranking semantics.
+    rank_scene_coverage: bool = True
+    # per-point contribution cap (meters) for the coverage term: bounds the
+    # influence of residual clutter the model legitimately cannot explain
+    coverage_clip: float = 0.05
     # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0

@@ -435,7 +435,20 @@ def detect_with_features(
                 point_to_plane=cfg.final_point_to_plane,
                 target_normals=feats.normals,
             )
-        ranked = jnp.where(cand_valid & cand_verified, model_fit,
+        rank_metric = model_fit
+        if cfg.rank_scene_coverage:
+            from tpu_joints.recognize.icp import scene_coverage_multi
+
+            # flip discriminator: the scene must be EXPLAINED by the posed
+            # model (score2 alone is flip-blind on near-symmetric parts —
+            # see scene_coverage_multi). Same folded NN geometry/kernel
+            # program as the refinement calls above.
+            with jax.named_scope("scene_coverage"):
+                coverage = scene_coverage_multi(
+                    feats.cloud, m_xyz, m_mask, polished,
+                    clip=cfg.coverage_clip, chunk=2048)
+            rank_metric = model_fit + coverage
+        ranked = jnp.where(cand_valid & cand_verified, rank_metric,
                            jnp.float32(3e38))
         if cfg.select_by_model_fitness:
             effective_fitness = jnp.where(has_model, ranked, effective_fitness)

@@ -52,48 +52,13 @@ def _even_spread(keep: jnp.ndarray, n_selected: jnp.ndarray,
     return keep & (rank % stride == 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block", "half_window", "capacity")
-)
-def ingest_organized_blocks(
-    xyz_img: jnp.ndarray,
-    valid: jnp.ndarray,
-    block: int = 4,
-    half_window: int = 5,
-    capacity: Optional[int] = None,
-    crop_lo: Optional[jnp.ndarray] = None,
-    crop_hi: Optional[jnp.ndarray] = None,
-    viewpoint: Optional[jnp.ndarray] = None,
-) -> Tuple[Cloud, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sort-free organized ingestion: one point per ``block``×``block`` pixel
-    tile, everything at full resolution expressed as plane-wise stencils.
+def _tile_select(xyz_img, valid, block, crop_lo, crop_hi):
+    """Crop + one-winner-per-tile selection on [H, W] planes.
 
-    The sensor grid is already a spatial index — a pixel tile at depth z
-    covers ≈ (block · 2·z·tan(fov/2)/W)² of surface, so per-tile selection
-    IS a uniform downsample for bounded-depth scenes, without the two
-    307k-lane sorts the generic voxel path pays. TPU-critical layout: all
-    full-resolution work runs on [H, W] *planes* (lane axis = W) — per-tile
-    stats via strided ``reduce_window``, the winning pixel via a min-equality
-    match, and normals via the shared box-filtered moment maps
-    (``features.organized.organized_moments``). The only gathers are
-    O(capacity): 10 moment scalars per selected point. The earlier
-    formulation (reshape/transpose to [tiles, block², 3] + per-point window
-    gathers) paid ~42× lane padding on the trailing dim and random-gather
-    serialization — 36 ms at 640×480 vs ~5 ms for this one (v5e).
-
-    Normals match the k-NN estimator's definition (covariance smallest
-    eigenvector, viewpoint-oriented, curvature λ0/Σλ) with PCL's
-    integral-image edge semantics: windows shrink to stay clear of
-    valid-valid depth jumps, invalid pixels are excluded by the count
-    channel (see ``organized_moments``).
-
-    Returns (scene Cloud, normals, curvature, n_selected).
+    Returns (x, y, z, mask) full-resolution planes and (pix, got) flat
+    [Hb·Wb] arrays: the winning pixel per tile and whether the tile holds
+    any valid point.
     """
-    from tpu_joints.features.eigen3 import eigh3x3
-    from tpu_joints.features.organized import _cov_from_moments, organized_moments
-
-    if viewpoint is None:
-        viewpoint = jnp.zeros(3, jnp.float32)
     H, W, _ = xyz_img.shape
     assert H % block == 0 and W % block == 0, (H, W, block)
     Hb, Wb = H // block, W // block
@@ -135,15 +100,27 @@ def ingest_organized_blocks(
                   jnp.float32(-1), jax.lax.max).astype(jnp.int32)
     got = (cnt > 0).reshape(Hb * Wb)
     pix = jnp.maximum(best_pix.reshape(Hb * Wb), 0)
+    return x, y, z, mask, pix, got
 
-    n_selected = jnp.sum(got.astype(jnp.int32))
-    if capacity is not None and capacity < Hb * Wb:
-        got = _even_spread(got, n_selected, capacity)
-        idx, keep = compact_indices(got, capacity)
-        pix = pix[idx]
-        got = keep
 
-    # --- normals at selected points from the shared moment maps ----------
+def _moment_normals(x, y, z, mask, pix, got, half_window, viewpoint):
+    """Positions + normals + curvature at the ``pix`` pixels, from the
+    shared box-filtered moment maps (``features.organized``). The only
+    gathers are O(len(pix)): 10 moment scalars per point.
+
+    Normals match the k-NN estimator's definition (covariance smallest
+    eigenvector, viewpoint-oriented, curvature λ0/Σλ) with PCL's
+    integral-image edge semantics: windows shrink to stay clear of
+    valid-valid depth jumps, invalid pixels are excluded by the count
+    channel (see ``organized_moments``).
+
+    Returns (xyz [M, 3], normals, curvature, ok) with ok = got minus the
+    pixels where no window survives the depth-edge shrink.
+    """
+    from tpu_joints.features.eigen3 import eigh3x3
+    from tpu_joints.features.organized import _cov_from_moments, organized_moments
+
+    H, W = mask.shape
     S_img, r_px = organized_moments(
         jnp.stack([x, y, z], -1), mask, half_window)
     rows = jnp.clip(pix // W, 0, H - 1)
@@ -159,13 +136,153 @@ def ingest_organized_blocks(
     lam = jnp.maximum(vals, 0.0)
     tot = jnp.sum(lam, axis=1)
     curvature = jnp.where(tot > 1e-20, lam[:, 2] / jnp.maximum(tot, 1e-20), 0.0)
-    ok_n = got & (n_support >= 5.0) & (r_px[rows, cols] >= 1)
-    normals = jnp.where(ok_n[:, None], normals, 0.0)
-    curvature = jnp.where(ok_n, curvature, 0.0)
-    got = ok_n
+    ok = got & (n_support >= 5.0) & (r_px[rows, cols] >= 1)
+    normals = jnp.where(ok[:, None], normals, 0.0)
+    curvature = jnp.where(ok, curvature, 0.0)
+    return xyz, normals, curvature, ok
 
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "half_window", "capacity")
+)
+def ingest_organized_blocks(
+    xyz_img: jnp.ndarray,
+    valid: jnp.ndarray,
+    block: int = 4,
+    half_window: int = 5,
+    capacity: Optional[int] = None,
+    crop_lo: Optional[jnp.ndarray] = None,
+    crop_hi: Optional[jnp.ndarray] = None,
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> Tuple[Cloud, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free organized ingestion: one point per ``block``×``block`` pixel
+    tile, everything at full resolution expressed as plane-wise stencils.
+
+    The sensor grid is already a spatial index — a pixel tile at depth z
+    covers ≈ (block · 2·z·tan(fov/2)/W)² of surface, so per-tile selection
+    IS a uniform downsample for bounded-depth scenes, without the two
+    307k-lane sorts the generic voxel path pays. TPU-critical layout: all
+    full-resolution work runs on [H, W] *planes* (lane axis = W) — per-tile
+    stats via strided ``reduce_window``, the winning pixel via a min-equality
+    match, and normals via the shared box-filtered moment maps
+    (``features.organized.organized_moments``). The only gathers are
+    O(capacity): 10 moment scalars per selected point. The earlier
+    formulation (reshape/transpose to [tiles, block², 3] + per-point window
+    gathers) paid ~42× lane padding on the trailing dim and random-gather
+    serialization — 36 ms at 640×480 vs ~5 ms for this one (v5e).
+
+    Returns (scene Cloud, normals, curvature, n_selected).
+    """
+    if viewpoint is None:
+        viewpoint = jnp.zeros(3, jnp.float32)
+    H, W, _ = xyz_img.shape
+    Hb, Wb = H // block, W // block
+    x, y, z, mask, pix, got = _tile_select(
+        xyz_img, valid, block, crop_lo, crop_hi)
+
+    n_selected = jnp.sum(got.astype(jnp.int32))
+    if capacity is not None and capacity < Hb * Wb:
+        got = _even_spread(got, n_selected, capacity)
+        idx, keep = compact_indices(got, capacity)
+        pix = pix[idx]
+        got = keep
+
+    xyz, normals, curvature, got = _moment_normals(
+        x, y, z, mask, pix, got, half_window, viewpoint)
     scene = Cloud(xyz=jnp.where(got[:, None], xyz, SENTINEL), mask=got,
                   rgb=jnp.zeros_like(xyz))
+    return scene, normals, curvature, n_selected
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "half_window")
+)
+def ingest_organized_segmented(
+    xyz_img: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg,
+    block: int = 4,
+    half_window: int = 5,
+    crop_lo: Optional[jnp.ndarray] = None,
+    crop_hi: Optional[jnp.ndarray] = None,
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> Tuple[Cloud, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Organized ingestion WITH the reference's scene-crop chain fused in:
+    crop → dominant-plane removal → region growing → cluster curvature
+    filter (``SHOT_demo.cpp:282-400``, ``segmentation.cpp:94-110``), all
+    executed on the sensor tile lattice BEFORE compaction.
+
+    The generic path (``prepare_scene`` with ``cfg.segment_scene``) pays an
+    O(N²) kNN graph build for region growing at working-set scale; here the
+    lattice IS the graph (``segment.organized.region_growing_lattice``) and
+    segmentation costs a few [Hb, Wb]-plane stencils. Because the table and
+    clutter are dropped *before* the working set is cut, the surviving
+    capacity only needs to hold the object points — the segmented pipeline
+    then runs at the same capacities (and reuses the same compiled detect
+    executables) as the unsegmented one.
+
+    ``cfg`` is a :class:`DetectionConfig` (hashable → static): uses
+    remove_plane / plane_dist / plane_min_fraction, rg_* gates,
+    cluster_max_curvature, and scene_capacity. Pass the SAME cfg to
+    ``detect`` but with ``segment_scene=False`` / ``remove_plane=False``
+    there (this front end already did both).
+
+    Returns (scene Cloud[scene_capacity], normals, curvature, n_selected —
+    survivors AFTER segmentation, before capacity truncation).
+    """
+    if viewpoint is None:
+        viewpoint = jnp.zeros(3, jnp.float32)
+    H, W, _ = xyz_img.shape
+    Hb, Wb = H // block, W // block
+    T = Hb * Wb
+    x, y, z, mask, pix, got = _tile_select(
+        xyz_img, valid, block, crop_lo, crop_hi)
+
+    # normals at ALL tile winners (the lattice nodes): the moment gather is
+    # O(T) scalars and eigh3x3 is closed-form — cheap at 19200 nodes
+    txyz, tnorm, tcurv, got = _moment_normals(
+        x, y, z, mask, pix, got, half_window, viewpoint)
+
+    if cfg.remove_plane:
+        from tpu_joints.segment.sac import sac_plane
+
+        nodes = Cloud(xyz=jnp.where(got[:, None], txyz, SENTINEL),
+                      mask=got, rgb=jnp.zeros_like(txyz))
+        # deterministic hypothesis draw: same scene → same crop
+        plane = sac_plane(nodes, tnorm, jax.random.PRNGKey(0),
+                          n_hypotheses=256,
+                          distance_threshold=cfg.plane_dist)
+        n_valid = jnp.sum(got.astype(jnp.int32))
+        dominant = plane.score >= (
+            cfg.plane_min_fraction * n_valid.astype(jnp.float32))
+        got = got & ~(plane.inliers & dominant)
+
+    if cfg.segment_scene:
+        from tpu_joints.segment import cluster_curvature_filter
+        from tpu_joints.segment.organized import region_growing_lattice
+
+        clusters = region_growing_lattice(
+            txyz.reshape(Hb, Wb, 3), tnorm.reshape(Hb, Wb, 3),
+            tcurv.reshape(Hb, Wb), got.reshape(Hb, Wb),
+            smoothness_deg=cfg.rg_smoothness_deg,
+            curvature_threshold=cfg.rg_curvature,
+            min_cluster_size=cfg.rg_min_cluster,
+            max_edge=cfg.rg_max_edge,
+        )
+        keep = cluster_curvature_filter(
+            clusters, tcurv, got, cfg.cluster_max_curvature)
+    else:
+        keep = got
+
+    n_selected = jnp.sum(keep.astype(jnp.int32))
+    capacity = cfg.scene_capacity
+    if capacity < T:
+        keep = _even_spread(keep, n_selected, capacity)
+    idx, ok = compact_indices(keep, capacity)
+    xyz = jnp.where(ok[:, None], txyz[idx], SENTINEL)
+    normals = jnp.where(ok[:, None], tnorm[idx], 0.0)
+    curvature = jnp.where(ok, tcurv[idx], 0.0)
+    scene = Cloud(xyz=xyz, mask=ok, rgb=jnp.zeros_like(xyz))
     return scene, normals, curvature, n_selected
 
 

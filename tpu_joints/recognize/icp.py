@@ -232,6 +232,54 @@ def fitness_multi(
     return jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("clip", "chunk"))
+def scene_coverage_multi(
+    scene: Cloud,
+    model_xyz: jnp.ndarray,
+    model_mask: jnp.ndarray,
+    Ts: jnp.ndarray,
+    clip: float = 0.05,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """How well the model AT EACH POSE explains the scene: mean over valid
+    scene points of min(NN-distance² to the posed model, ``clip``²), for C
+    poses in one batched NN query.
+
+    This is the flip discriminator the reference's score2 lacks
+    (``SHOT_demo.cpp:669-681`` ranks by model→scene ``getFitnessScore()``):
+    the full CAD's *back* half has no scene correspondence at ANY pose, so
+    its distance floor dominates model→scene fitness for true pose and
+    flipped pose alike — on near-symmetric joints the two land within
+    noise of each other. Scene points carry no such blindness: every scene
+    point is visible by construction, so a flip that strands the scene's
+    stub unexplained pays its full squared distance (measured ~500×
+    separation where score2 gave ~1.3×). The ``clip`` bounds what any
+    single unexplained point (residual clutter) can contribute.
+
+    TPU formulation: dist(s, T·m) = dist(T⁻¹·s, m) — the pose axis folds
+    into the NN *row* axis by moving the scene through each inverse pose,
+    so all C poses share one NN query against the STATIC model cloud
+    (never vmap the chunked top-k scan — see :func:`icp_multi`).
+    """
+    from tpu_joints.core.transforms import invert_rigid
+
+    C = Ts.shape[0]
+    S = scene.capacity
+    inv = jax.vmap(invert_rigid)(Ts)
+    moved = jnp.einsum("cij,nj->cni", inv[:, :3, :3], scene.xyz,
+                       precision=jax.lax.Precision.HIGHEST) + inv[:, None, :3, 3]
+    # allow_pallas=False: this NN's [C·S, Nm] shape differs from the ICP
+    # refinement's — a second Mosaic k=1 instantiation alternating with it
+    # risks the multi-program re-execution fault (docs/PERFORMANCE.md), and
+    # the XLA k=1 path (matmul + row-min, no top-k) is near-equal anyway
+    d, _ = knn(moved.reshape(C * S, 3), model_xyz, 1,
+               source_mask=model_mask, chunk=chunk, allow_pallas=False)
+    dist_sq = d[:, 0].reshape(C, S)
+    dist_sq = jnp.minimum(dist_sq, jnp.float32(clip) ** 2)
+    w = scene.mask[None, :].astype(jnp.float32)
+    return jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def fitness_score(
     source: Cloud,

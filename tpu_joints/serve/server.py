@@ -106,8 +106,17 @@ class DetectionService:
         max_retries: int = 2,
         retry_backoff_s: float = 0.1,
     ):
+        import dataclasses
+
         self.bank = bank
         self.cfg = cfg
+        # organized frames segment on the sensor lattice inside ingest
+        # (pipelines.ingest.ingest_organized_segmented), so detect must not
+        # re-run the generic crop chain on the already-cropped working set;
+        # unorganized point submissions keep the full cfg (prepare_scene
+        # runs the generic SAC + region-growing path for those)
+        self._organized_cfg = dataclasses.replace(
+            cfg, segment_scene=False, remove_plane=False)
         self.grasp_offset = np.asarray(grasp_offset, np.float32)
         self._lock = threading.Lock()
         self._slots = threading.BoundedSemaphore(max_pending)
@@ -147,18 +156,32 @@ class DetectionService:
         while block < 16 and (H // (2 * block)) * (W // (2 * block)) > cap:
             block *= 2
         Hc, Wc = H - H % block, W - W % block
-        scene, normals, curvature, _ = ingest_organized_blocks(
-            jnp.asarray(np.nan_to_num(xyz_img[:Hc, :Wc])),
-            jnp.asarray(valid[:Hc, :Wc]),
-            block=block, half_window=5, capacity=cap)
-        n_organized = int(np.asarray(scene.mask.sum()))
-        if n_organized < min(64, cap // 8) and n_organized < valid.sum() // 2:
-            # the frame is too sparse for stencil normals (e.g. a splatted
-            # point render, not a real sensor surface) — fall back to the
-            # unordered path rather than detect on a starved working set
-            return self.detect_points(xyz_img[valid])
+        img = jnp.asarray(np.nan_to_num(xyz_img[:Hc, :Wc]))
+        vmask = jnp.asarray(valid[:Hc, :Wc])
+        if self.cfg.segment_scene or self.cfg.remove_plane:
+            from tpu_joints.pipelines.ingest import ingest_organized_segmented
+
+            # the reference's crop chain (plane removal + region growing +
+            # curvature filter) runs on the sensor lattice inside ingest —
+            # detect then sees the already-cropped scene (_organized_cfg).
+            # No sparse-frame fallback here: a small survivor count is the
+            # segmentation doing its job (table/clutter removed), and the
+            # unorganized fallback would skip the crop chain entirely.
+            scene, normals, curvature, _ = ingest_organized_segmented(
+                img, vmask, self.cfg, block=block, half_window=5)
+        else:
+            scene, normals, curvature, _ = ingest_organized_blocks(
+                img, vmask, block=block, half_window=5, capacity=cap)
+            n_organized = int(np.asarray(scene.mask.sum()))
+            if (n_organized < min(64, cap // 8)
+                    and n_organized < valid.sum() // 2):
+                # the frame is too sparse for stencil normals (e.g. a
+                # splatted point render, not a real sensor surface) — fall
+                # back to the unordered path rather than detect on a
+                # starved working set
+                return self.detect_points(xyz_img[valid])
         return self._detect_scene(scene, normals=normals,
-                                  curvature=curvature)
+                                  curvature=curvature, cfg=self._organized_cfg)
 
     def detect_points(self, pts: np.ndarray) -> dict:
         pts = np.asarray(pts, np.float32).reshape(-1, 3)
@@ -187,7 +210,7 @@ class DetectionService:
             scene = make_cloud(pts, capacity=cap)
         return self._detect_scene(scene)
 
-    def _detect_with_retry(self, scene, normals, curvature):
+    def _detect_with_retry(self, scene, normals, curvature, cfg=None):
         """Run the jitted chain with bounded retry/backoff on transient
         runtime faults (the reference's failure story is
         continue-with-stale-cloud, ``SHOT.cpp:260-265``; round 2's was a
@@ -203,7 +226,7 @@ class DetectionService:
                 # sync=False: the retry policy lives HERE (detect's own
                 # sync=True single-shot retry would nest with this one);
                 # block inside the try so async faults surface to it
-                res = detect(scene, self.bank, self.cfg,
+                res = detect(scene, self.bank, cfg or self.cfg,
                              scene_normals=normals, scene_curvature=curvature)
                 jax.block_until_ready(res.full_pose)
                 return res
@@ -216,7 +239,8 @@ class DetectionService:
                     time.sleep(self.retry_backoff_s * (2 ** attempt))
         raise last
 
-    def _detect_scene(self, scene, normals=None, curvature=None) -> dict:
+    def _detect_scene(self, scene, normals=None, curvature=None,
+                      cfg=None) -> dict:
         from tpu_joints.core.transforms import transform_points
 
         if not self._slots.acquire(blocking=False):
@@ -225,7 +249,7 @@ class DetectionService:
         try:
             with self._lock:
                 t0 = time.perf_counter()
-                res = self._detect_with_retry(scene, normals, curvature)
+                res = self._detect_with_retry(scene, normals, curvature, cfg)
                 latency_ms = (time.perf_counter() - t0) * 1000.0
                 self.n_requests += 1
         finally:
