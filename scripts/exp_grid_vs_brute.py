@@ -44,20 +44,30 @@ def timeit(name, fn, n=10):
 
 
 def main():
+    import dataclasses
+
     from tpu_joints.neighbors import knn, radius_neighbors
     from tpu_joints.neighbors.grid import (
         build_grid, grid_radius_neighbors, max_cell_occupancy)
     from tpu_joints.pipelines.ingest import ingest_organized_blocks
     from tpu_joints.segment import region_growing
 
-    xyz_img_h, valid_h, bank, cfg, block, T_pose = bench.build_problem(
-        with_table=True)
+    # the GENERIC (unorganized) path's scale: the organized pipeline no
+    # longer builds kNN graphs at all (lattice segmentation), but the
+    # generic presets still pay O(N²) at capacity 8192 — that is the
+    # operating point the grid must beat
+    CAP = int(os.environ.get("EXP_CAP", "8192"))
+    cfg = dataclasses.replace(bench._make_config(), scene_capacity=CAP,
+                              scene_key_capacity=1024)
+    T_pose = bench._bench_pose()
+    xyz_img_h, valid_h = bench._frame(T_pose, 42, with_table=True)
     xyz_img = jnp.asarray(xyz_img_h)
     valid = jnp.asarray(valid_h)
     crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
     crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    # block=2 so the working set actually fills the 8192 capacity
     scene, normals, curvature, n_sel = ingest_organized_blocks(
-        xyz_img, valid, block=block, half_window=5,
+        xyz_img, valid, block=2, half_window=5,
         capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi)
     print(f"device={jax.devices()[0].device_kind} working_set={int(n_sel)} "
           f"capacity={cfg.scene_capacity}")
@@ -88,7 +98,7 @@ def main():
         occ = int(max_cell_occupancy(grid))
         gq = jax.jit(functools.partial(
             grid_radius_neighbors, radius=float(cell), k_max=k,
-            bucket_cap=cap))
+            bucket_cap=cap, query_chunk=2048))
         timeit(f"graph grid cell={float(cell):.2f} cap={cap} (occ={occ})",
                lambda: gq(bg(scene.xyz, scene.mask), scene.xyz))
 
@@ -104,7 +114,7 @@ def main():
     for cap in (160, 224):
         gqs = jax.jit(functools.partial(
             grid_radius_neighbors, radius=cfg.descr_rad, k_max=cfg.k_max,
-            bucket_cap=cap))
+            bucket_cap=cap, query_chunk=512))
         timeit(f"SHOT gather grid cap={cap} (occ={occ_s})",
                lambda: gqs(bgs(scene.xyz, scene.mask), keys_xyz))
 
@@ -115,7 +125,7 @@ def main():
         keys_xyz, scene.xyz, source_mask=scene.mask))
     gqr = jax.jit(functools.partial(
         grid_radius_neighbors, radius=cfg.rf_rad, k_max=cfg.rf_k_max,
-        bucket_cap=160))
+        bucket_cap=160, query_chunk=512))
     timeit("rf gather grid cap=160", lambda: gqr(
         bgs(scene.xyz, scene.mask), keys_xyz))
 

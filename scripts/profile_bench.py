@@ -46,42 +46,40 @@ def main():
     from tpu_joints.recognize.icp import icp_multi
     import functools
 
+    import dataclasses
+
     xyz_img_h, valid_h, bank, cfg, block, T_pose = bench.build_problem()
+    # detect runs with the crop flags off (the lattice ingest owns them) —
+    # mirror bench.main's det_cfg so the profiled programs are the bench's
+    det_cfg = dataclasses.replace(cfg, segment_scene=False,
+                                  remove_plane=False)
     xyz_img = jnp.asarray(xyz_img_h)
     valid = jnp.asarray(valid_h)
     half_window = 5
 
     print(f"device={jax.devices()[0].device_kind}")
 
-    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32) if bench.SEGMENT else None
-    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32) if bench.SEGMENT else None
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
     ing = timeit("ingest_organized_blocks", lambda: ingest_organized_blocks(
         xyz_img, valid, block=block, half_window=half_window,
         capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi))
     scene, normals, curvature, n_sel = ing
     print(f"  working set: {int(n_sel)}")
 
-    if cfg.remove_plane:
-        from tpu_joints.segment.sac import sac_plane
+    from tpu_joints.pipelines.ingest import ingest_organized_segmented
 
-        sp = jax.jit(functools.partial(sac_plane, n_hypotheses=256,
-                                       distance_threshold=cfg.plane_dist))
-        timeit("  sac_plane", lambda: sp(scene, normals, jax.random.PRNGKey(0)))
-    if cfg.segment_scene:
-        from tpu_joints.segment import region_growing
-
-        rg = jax.jit(functools.partial(
-            region_growing, k=min(30, cfg.normal_k),
-            smoothness_deg=cfg.rg_smoothness_deg,
-            curvature_threshold=cfg.rg_curvature,
-            min_cluster_size=cfg.rg_min_cluster, max_edge=cfg.rg_max_edge))
-        timeit("  region_growing", lambda: rg(scene, normals, curvature))
+    seg_img_h, seg_valid_h = bench._frame(T_pose, 42, with_table=True)
+    seg_img, seg_valid = jnp.asarray(seg_img_h), jnp.asarray(seg_valid_h)
+    timeit("ingest_organized_segmented", lambda: ingest_organized_segmented(
+        seg_img, seg_valid, cfg, block=block, half_window=half_window,
+        crop_lo=crop_lo, crop_hi=crop_hi))
 
     feats = timeit("prepare_scene (keys+SHOT+LRF)", lambda: _prepare_jit(
-        scene, cfg, None, normals, curvature))
+        scene, det_cfg, None, normals, curvature))
 
     timeit("detect_with_features (match..pose)", lambda: _detect_features_jit(
-        feats, bank, cfg))
+        feats, bank, det_cfg))
 
     # ---- sub-stages of detect_with_features ----
     mb = functools.partial(jax.jit, static_argnames=("cfg",))(match_bank)

@@ -308,9 +308,10 @@ def test_scene_coverage_discriminates_flip(rng):
     scene = make_cloud(front, capacity=2048)
     Ts = jnp.stack([jnp.asarray(T_true), jnp.asarray(T_flip)])
 
-    cov = np.asarray(scene_coverage_multi(
+    cov, unexplained = scene_coverage_multi(
         scene, jnp.asarray(model_xyz),
-        jnp.ones(model_xyz.shape[0], bool), Ts, clip=0.05))
+        jnp.ones(model_xyz.shape[0], bool), Ts, clip=0.05)
+    cov, unexplained = np.asarray(cov), np.asarray(unexplained)
     fit = np.asarray(fitness_multi(
         jnp.asarray(model_xyz), jnp.ones(model_xyz.shape[0], bool),
         scene, Ts))
@@ -318,5 +319,9 @@ def test_scene_coverage_discriminates_flip(rng):
     # scene's stub entirely
     assert cov[0] < 1e-5, cov
     assert cov[1] > 30.0 * max(cov[0], 1e-7), cov
+    # the acceptance signal: zero unexplained fraction at the true pose,
+    # the stub's share of the scene at the flip
+    assert unexplained[0] < 0.01, unexplained
+    assert unexplained[1] > 0.10, unexplained
     # score2 alone is the weak discriminator this term exists to fix
     assert fit[1] < 10.0 * fit[0], fit

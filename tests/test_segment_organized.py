@@ -264,3 +264,47 @@ def test_segmented_ingest_detect_e2e(rng):
     terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
     assert ang < 1.5, f"rotation error {ang}°"
     assert terr < 0.008, f"translation error {terr*1000:.1f} mm"
+
+
+def test_detect_organized_fused_matches_split(rng):
+    """The one-dispatch fused program and the two-dispatch split must
+    produce identical results (same jaxpr, different executable
+    boundaries) — on both the plain and the lattice-crop routes."""
+    import dataclasses
+
+    from tpu_joints.modelbank import build_bank
+    from tpu_joints.pipelines.detect import detect_organized
+
+    xyz_img, valid, T_gt = _raycast_frame(segment_table=True)
+    cfg = _seg_cfg(
+        descr_rad=0.06, model_ss=0.02, scene_ss=0.02, rf_frames="board",
+        rf_rad=0.06, cg_size=0.05, icp_iterations=4, max_candidates=4,
+        max_instances_per_view=1, k_max=64, scene_key_capacity=128,
+        final_icp_iterations=2)
+    rngm = np.random.default_rng(7)
+    theta = rngm.uniform(0, 2 * np.pi, 1500)
+    h = rngm.uniform(-0.3, 0.3, 1500)
+    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
+                     1).astype(np.float32)
+    bank = build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
+                      rf_radius=cfg.rf_rad, frames="board",
+                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
+                      k_max=cfg.k_max, level=0, resolution=48,
+                      key_capacity=32, icp_capacity=512)
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    for route_cfg in (cfg, dataclasses.replace(cfg, segment_scene=False,
+                                               remove_plane=False)):
+        r_split, n_split = detect_organized(
+            jnp.asarray(xyz_img), jnp.asarray(valid), bank, route_cfg,
+            block=2, half_window=3, crop_lo=crop_lo, crop_hi=crop_hi,
+            fused=False)
+        r_fused, n_fused = detect_organized(
+            jnp.asarray(xyz_img), jnp.asarray(valid), bank, route_cfg,
+            block=2, half_window=3, crop_lo=crop_lo, crop_hi=crop_hi,
+            fused=True)
+        assert int(n_split) == int(n_fused)
+        np.testing.assert_allclose(np.asarray(r_split.full_pose),
+                                   np.asarray(r_fused.full_pose),
+                                   rtol=0, atol=5e-4)
+        assert int(r_split.view_idx) == int(r_fused.view_idx)

@@ -88,6 +88,15 @@ class DetectionConfig:
     # per-point contribution cap (meters) for the coverage term: bounds the
     # influence of residual clutter the model legitimately cannot explain
     coverage_clip: float = 0.05
+    # > 0: also GATE acceptance on the winner's UNEXPLAINED fraction — at
+    # most this fraction of valid scene points may sit farther than 2 cm
+    # from the posed model. Rejects flips that pass the score2 gate on
+    # views where the symmetry-breaking feature is barely visible (a flip
+    # strands those points; a true pose strands none, independent of the
+    # model's subsample density). Only sound for (mostly) object-only
+    # scenes, e.g. after the segmentation crop; leave 0 for cluttered
+    # unsegmented scenes.
+    coverage_accept: float = 0.0
     # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0

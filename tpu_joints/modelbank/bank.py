@@ -222,13 +222,22 @@ def build_bank(
         normal_radius=normal_radius, k_max=k_max,
         level=level, resolution=resolution, n_views=len(views),
     )
-    # full CAD cloud for the composed-pose final ICP (SHOT_demo.cpp:245,
-    # :641-686); downsample to the view capacity so shapes stay bounded
+    # full CAD cloud for the composed-pose final ICP and the scene-coverage
+    # discriminator (SHOT_demo.cpp:245, :641-686). Stored at up to 8192
+    # points — denser than the ICP working rows because the coverage gate
+    # compares scene→model NN distances against an absolute threshold, so
+    # the stored model's own sampling tail must sit well inside it
+    # (a view_capacity=1024 store put ~8% of on-surface points past 2 cm).
+    # Deterministically SHUFFLED so that any prefix or lane stride is a
+    # uniform spatial subsample (generator-ordered models are block-sorted
+    # by part, which starved the stub in prefix truncations).
     model_xyz = np.asarray(model_xyz, np.float32).reshape(-1, 3)
-    if model_xyz.shape[0] > view_capacity:
-        sel = np.linspace(0, model_xyz.shape[0] - 1, view_capacity).astype(np.int64)
+    if model_xyz.shape[0] > 8192:
+        sel = np.linspace(0, model_xyz.shape[0] - 1, 8192).astype(np.int64)
         model_xyz = model_xyz[sel]
-    model = make_cloud(model_xyz, capacity=view_capacity)
+    model_xyz = model_xyz[np.random.RandomState(0).permutation(
+        model_xyz.shape[0])]
+    model = make_cloud(model_xyz, capacity=max(model_xyz.shape[0], 1))
     view_xyz = jnp.stack(all_view_xyz)
     view_mask = jnp.stack(all_view_mask)
     icp_xyz, icp_mask = _subsample_views(view_xyz, view_mask, icp_capacity)

@@ -436,24 +436,39 @@ def detect_with_features(
                 target_normals=feats.normals,
             )
         rank_metric = model_fit
+        coverage = unexplained = None
         if cfg.rank_scene_coverage:
             from tpu_joints.recognize.icp import scene_coverage_multi
 
             # flip discriminator: the scene must be EXPLAINED by the posed
             # model (score2 alone is flip-blind on near-symmetric parts —
-            # see scene_coverage_multi). Same folded NN geometry/kernel
-            # program as the refinement calls above.
+            # see scene_coverage_multi). The NN target is a DENSER model
+            # subsample than the ICP rows: the unexplained-fraction gate
+            # compares scene→model NN distances against a 2 cm threshold,
+            # so the model's own sampling tail must sit well inside it —
+            # banks store the CAD at up to 8192 shuffled points for exactly
+            # this (a 1024-row store put ~8% of on-surface points past
+            # 2 cm and tripped the gate on perfect poses).
+            Nm = bank.model_xyz.shape[0]
+            c_xyz, c_mask = _model_at_capacity(bank, min(Nm, max(4096, Ni)))
             with jax.named_scope("scene_coverage"):
-                coverage = scene_coverage_multi(
-                    feats.cloud, m_xyz, m_mask, polished,
+                coverage, unexplained = scene_coverage_multi(
+                    feats.cloud, c_xyz, c_mask, polished,
                     clip=cfg.coverage_clip, chunk=2048)
-            rank_metric = model_fit + coverage
+            # coverage-DOMINANT ranking, model_fit as tiebreak: score2's
+            # value is the same back-of-CAD noise floor (~4e-3 m²) for true
+            # and flipped poses alike, and its candidate-to-candidate
+            # jitter exceeds the coverage separation — an equal-weight sum
+            # let a flip win on measured TPU sweeps even with the true
+            # pose in the field (cov 8e-5 vs 2e-4, fit jitter ~2e-4)
+            rank_metric = coverage + 0.1 * model_fit
         ranked = jnp.where(cand_valid & cand_verified, rank_metric,
                            jnp.float32(3e38))
         if cfg.select_by_model_fitness:
             effective_fitness = jnp.where(has_model, ranked, effective_fitness)
     else:
         polished, model_fit = full_cands, cand_fitness
+        coverage = unexplained = None
 
     best = jnp.argmin(effective_fitness)
     view_idx = cand_views[best]
@@ -475,6 +490,20 @@ def detect_with_features(
                                  model_fit[best], fitness)
         accepted = (fitness < cfg.accept_fitness)
     accepted = accepted & cand_valid[best] & cand_verified[best]
+    if unexplained is not None and cfg.coverage_accept > 0.0:
+        # scene-coverage acceptance gate: even the best candidate must
+        # EXPLAIN the scene — at most ``coverage_accept`` of the scene's
+        # points may sit farther than 2 cm from the posed model. On views
+        # where the symmetry-breaking feature is barely visible, a flipped
+        # pose can pass the score2 gate (the CAD's occluded back dominates
+        # that metric for any pose) — but it cannot explain the stranded
+        # scene points. Opt-in (> 0): only sound when the scene is mostly
+        # the object (e.g. after the segmentation crop); a cluttered
+        # unsegmented scene legitimately has model-unexplainable points.
+        # Banks without a stored CAD model carry no coverage signal — the
+        # gate must not fire on their all-sentinel placeholder.
+        accepted = accepted & (
+            (unexplained[best] < cfg.coverage_accept) | ~has_model)
 
     from tpu_joints.core.transforms import transform_points
 
@@ -501,6 +530,11 @@ def detect_with_features(
         "instances": jnp.sum(inst.valid.astype(jnp.int32)),
         "best_votes": top_votes[0],
     }
+    if coverage is not None:
+        metrics["best_coverage"] = coverage[best]
+        metrics["cand_coverage"] = coverage
+        metrics["best_unexplained"] = unexplained[best]
+        metrics["cand_unexplained"] = unexplained
     return DetectionResult(
         full_pose=full_pose,
         view_pose=view_pose,
@@ -522,3 +556,89 @@ def detect_with_features(
 _detect_features_jit = functools.partial(
     jax.jit, static_argnames=("cfg",)
 )(detect_with_features)
+
+
+def _strip_crop(cfg: DetectionConfig) -> DetectionConfig:
+    """The organized front end owns the crop chain; detect must not re-run
+    it on the already-cropped working set."""
+    import dataclasses
+
+    if cfg.segment_scene or cfg.remove_plane:
+        return dataclasses.replace(cfg, segment_scene=False,
+                                   remove_plane=False)
+    return cfg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "half_window"))
+def _organized_features_jit(
+    xyz_img, valid, cfg, block, half_window, crop_lo, crop_hi, viewpoint):
+    """Raw organized frame → SceneFeatures in ONE program: ingest (with the
+    lattice crop chain when cfg asks for it) + prepare_scene fused. Neither
+    stage contains a Mosaic kernel, so fusing them is safe under the
+    one-kernel-program-per-executable policy — and it saves a dispatch
+    round per frame (measurable under a remote TPU attachment, where each
+    dispatch rides the tunnel's control channel)."""
+    from tpu_joints.pipelines.ingest import (
+        ingest_organized_blocks, ingest_organized_segmented)
+
+    if cfg.segment_scene or cfg.remove_plane:
+        scene, normals, curvature, n_sel = ingest_organized_segmented(
+            xyz_img, valid, cfg, block=block, half_window=half_window,
+            crop_lo=crop_lo, crop_hi=crop_hi, viewpoint=viewpoint)
+    else:
+        scene, normals, curvature, n_sel = ingest_organized_blocks(
+            xyz_img, valid, block=block, half_window=half_window,
+            capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi,
+            viewpoint=viewpoint)
+    feats = prepare_scene(scene, _strip_crop(cfg), viewpoint, normals,
+                          curvature)
+    return feats, n_sel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "half_window"))
+def _organized_detect_fused_jit(
+    xyz_img, valid, bank, cfg, block, half_window, crop_lo, crop_hi,
+    viewpoint):
+    """Single-dispatch variant: the whole frame→pose chain in ONE
+    executable. Contains exactly one Mosaic kernel program (the ICP k=1
+    NN), so it stays inside the empirically safe one-kernel-per-executable
+    envelope. Under a remote TPU attachment each dispatch costs a
+    control-channel round (~10 ms measured), which makes dispatch count —
+    not device compute — the serving bottleneck; locally the two-dispatch
+    split compiles faster and measures the same."""
+    feats, n_sel = _organized_features_jit.__wrapped__(
+        xyz_img, valid, cfg, block, half_window, crop_lo, crop_hi, viewpoint)
+    return detect_with_features(feats, bank, _strip_crop(cfg)), n_sel
+
+
+def detect_organized(
+    xyz_img,
+    valid,
+    bank: ModelBank,
+    cfg: DetectionConfig = DetectionConfig(),
+    block: int = 4,
+    half_window: int = 5,
+    crop_lo=None,
+    crop_hi=None,
+    viewpoint: Optional[jnp.ndarray] = None,
+    fused: bool = False,
+):
+    """Complete raw-sensor entry: 640×480 organized frame → 6D pose in two
+    dispatches (fused ingest+features, then match+refine) — or one, with
+    ``fused=True``. This is the reference's live path
+    (``ROS_server.cpp:2112-2176`` → ``SHOT.cpp:204``) as one API call;
+    when ``cfg.segment_scene``/``cfg.remove_plane`` are set, the crop
+    chain runs on the sensor lattice inside the first program
+    (``pipelines.ingest.ingest_organized_segmented``).
+
+    Returns (DetectionResult, n_selected).
+    """
+    if fused:
+        return _organized_detect_fused_jit(
+            xyz_img, valid, bank, cfg, block, half_window, crop_lo, crop_hi,
+            viewpoint)
+    feats, n_sel = _organized_features_jit(
+        xyz_img, valid, cfg, block, half_window, crop_lo, crop_hi, viewpoint)
+    return _detect_features_jit(feats, bank, _strip_crop(cfg)), n_sel

@@ -232,18 +232,26 @@ def fitness_multi(
     return jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "chunk"))
+@functools.partial(jax.jit, static_argnames=("clip", "explained_dist", "chunk"))
 def scene_coverage_multi(
     scene: Cloud,
     model_xyz: jnp.ndarray,
     model_mask: jnp.ndarray,
     Ts: jnp.ndarray,
     clip: float = 0.05,
+    explained_dist: float = 0.02,
     chunk: int = 2048,
-) -> jnp.ndarray:
-    """How well the model AT EACH POSE explains the scene: mean over valid
-    scene points of min(NN-distance² to the posed model, ``clip``²), for C
-    poses in one batched NN query.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """How well the model AT EACH POSE explains the scene, for C poses in
+    one batched NN query. Returns two [C] arrays:
+
+      * coverage — mean over valid scene points of min(NN-distance² to the
+        posed model, ``clip``²): a continuous ranking signal;
+      * unexplained — fraction of valid scene points farther than
+        ``explained_dist`` from the posed model: an acceptance signal whose
+        floor is exactly 0 regardless of the model subsample density (the
+        mean's floor is the model's NN spacing², which can sit within an
+        order of magnitude of a small stranded feature's signal).
 
     This is the flip discriminator the reference's score2 lacks
     (``SHOT_demo.cpp:669-681`` ranks by model→scene ``getFitnessScore()``):
@@ -275,9 +283,13 @@ def scene_coverage_multi(
     d, _ = knn(moved.reshape(C * S, 3), model_xyz, 1,
                source_mask=model_mask, chunk=chunk, allow_pallas=False)
     dist_sq = d[:, 0].reshape(C, S)
-    dist_sq = jnp.minimum(dist_sq, jnp.float32(clip) ** 2)
     w = scene.mask[None, :].astype(jnp.float32)
-    return jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    clipped = jnp.minimum(dist_sq, jnp.float32(clip) ** 2)
+    coverage = jnp.sum(clipped * w, axis=1) / denom
+    far = (dist_sq > jnp.float32(explained_dist) ** 2).astype(jnp.float32)
+    unexplained = jnp.sum(far * w, axis=1) / denom
+    return coverage, unexplained
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -276,7 +276,11 @@ class DetectionService:
                 "extents": np.asarray(res.obb.extents).tolist(),
                 "euler_deg": np.degrees(np.asarray(res.obb.euler)).tolist(),
             },
-            "metrics": {k: float(np.asarray(v)) for k, v in res.metrics.items()},
+            # metrics hold traced scalars plus a few per-candidate vectors
+            # (cand_coverage / cand_unexplained) — emit vectors as lists
+            "metrics": {k: (float(a) if a.ndim == 0 else a.tolist())
+                        for k, a in ((k, np.asarray(v))
+                                     for k, v in res.metrics.items())},
             "latency_ms": round(latency_ms, 3),
         }
 
