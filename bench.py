@@ -93,7 +93,13 @@ def _make_config():
         descriptor="shot",
         descr_rad=0.06,
         model_ss=0.02,
-        scene_ss=0.02,
+        # SMALL samples at 0.03 so the ~210 selected keys fit the 256
+        # budget without uniform thinning (filters.compact_indices): the
+        # shrunken 12-view bank is marginal and loses the pose when the
+        # key field is decimated OR enlarged (measured: prefix-256 of 397
+        # works, decimated-256 and full-397 both flip — the smoke config
+        # needs the selection to FIT, full scale fits by construction)
+        scene_ss=0.03 if SMALL else 0.02,
         normal_k=16,
         match_mode="nn",
         match_threshold=0.25,
@@ -123,6 +129,11 @@ def _make_config():
         # one peak per view: a spam view otherwise floods the ranked
         # pool with two high-vote flips, pushing the true pose out
         max_instances_per_view=1,
+        # two-tier refinement: all 16 candidates ICP'd + ranked at 512
+        # rows, then the full 2048-row polish + dense coverage on the top
+        # 4 — ~4× less NN distance work on the latency-dominant stage
+        refine_top=4,
+        tier1_rows=512,
         # 2560 lanes: the 640x480/BLOCK=4 working set is ~2420 points,
         # so 3072 was 25% padding riding through every NN matmul column.
         # The segmented chain runs at the SAME capacity: its lattice crop
@@ -130,6 +141,8 @@ def _make_config():
         # working set is the same joint surface — and both chains share
         # one set of compiled detect executables.
         scene_capacity=3072 if SMALL else 2560,
+        # full scale: ~490 selected at 0.02 fit 512 exactly; SMALL's 256
+        # budget is matched by its 0.03 sampling radius (see scene_ss)
         scene_key_capacity=256 if SMALL else 512,
         # the scene is object-only (default frame) or segmentation-cropped
         # (segmented frame), so the coverage acceptance gate is sound: a

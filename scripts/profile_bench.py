@@ -59,6 +59,14 @@ def main():
 
     print(f"device={jax.devices()[0].device_kind}")
 
+    # dispatch-floor probe: a trivial program timed exactly like the stages.
+    # Under this environment's remote TPU attachment every synchronous call
+    # pays a control-channel roundtrip (~30 ms); subtract this number from
+    # every stage below to get net device compute.
+    tiny = jnp.ones((8,), jnp.float32)
+    inc = jax.jit(lambda v: v + 1.0)
+    timeit("dispatch floor (trivial program)", lambda: inc(tiny))
+
     crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
     crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
     ing = timeit("ingest_organized_blocks", lambda: ingest_organized_blocks(

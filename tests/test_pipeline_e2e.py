@@ -124,3 +124,35 @@ def test_scanner_42_views(rng):
         R = T[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         assert v[:, 2].min() > 0
+
+
+def test_two_tier_refinement_matches_single_tier(rng):
+    """cfg.refine_top: the two-tier pass (tier-1 rank at reduced rows →
+    full polish on the survivors) must recover the same pose as the
+    single-tier compute-all path within the golden tolerances."""
+    import dataclasses
+
+    model_xyz, scene_xyz, T_gt = _make_problem(rng)
+    cfg = dataclasses.replace(CFG, final_icp_iterations=3, max_candidates=4)
+    bank = build_bank(
+        model_xyz, descriptor=cfg.descriptor, descr_radius=cfg.descr_rad,
+        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
+        level=0, resolution=96, key_capacity=128,
+    )
+    scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
+    cfg2 = dataclasses.replace(cfg, refine_top=2, tier1_rows=256)
+    res1 = detect(scene, bank, cfg)
+    res2 = detect(scene, bank, cfg2)
+    assert bool(res1.accepted) and bool(res2.accepted)
+    for res in (res1, res2):
+        T_est = np.asarray(res.full_pose)
+        ang = float(tr.rotation_geodesic_deg(jnp.asarray(T_gt[:3, :3]),
+                                             jnp.asarray(T_est[:3, :3])))
+        terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+        assert ang < 1.0 and terr < 0.005
+    # the two estimates agree with each other (tier-2 runs the identical
+    # polish the single-tier path runs on the same winner)
+    dang = float(tr.rotation_geodesic_deg(
+        jnp.asarray(np.asarray(res1.full_pose)[:3, :3]),
+        jnp.asarray(np.asarray(res2.full_pose)[:3, :3])))
+    assert dang < 0.5

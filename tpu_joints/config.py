@@ -97,6 +97,19 @@ class DetectionConfig:
     # scenes, e.g. after the segmentation crop; leave 0 for cluttered
     # unsegmented scenes.
     coverage_accept: float = 0.0
+    # two-tier candidate refinement: > 0 refines ALL candidates at a
+    # stride-reduced row budget (``tier1_rows`` per candidate), ranks them
+    # by coverage + model fitness, then spends the full row budget
+    # (icp rows + final polish + dense coverage) on only the top
+    # ``refine_top`` survivors. The NN distance work of the refinement
+    # stage — the latency-dominant compute of the whole pipeline — drops
+    # ~(C/refine_top)× while the final accuracy is set entirely by the
+    # tier-2 pass. 0 = single-tier (every candidate gets the full budget),
+    # the strict compute-all reference shape.
+    refine_top: int = 0
+    # per-candidate ICP/polish row budget of the tier-1 pass (stride
+    # subsample of the bank's icp clouds); only read when refine_top > 0
+    tier1_rows: int = 512
     # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0

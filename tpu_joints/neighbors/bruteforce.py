@@ -60,6 +60,24 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_tile_n(n: int) -> int:
+    """Source-tile width for the fused Pallas kernel: minimize padding,
+    then maximize width.
+
+    The former fixed tn=2048 rounded a 2560-lane scene up to 4096 — 60%
+    pure padding work on EVERY ICP NN query (the latency-dominant stage).
+    The width is a deterministic function of the source length (lane
+    multiples of 128, ≤ 2048 to stay far from the VMEM ceiling), so a
+    given call shape still always produces the same Mosaic program.
+    """
+    best = (1 << 62, 0)
+    for tn in range(128, 2049, 128):
+        padded = _round_up(n, tn)
+        best = min(best, (padded, -tn))
+    return -best[1]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "exclude_self", "allow_pallas")
 )
@@ -107,14 +125,15 @@ def knn(
 
         if pallas_available():
             # fused Pallas kernel: distance + streaming top-k in VMEM.
-            # The tile geometry is FIXED process-wide (tn=2048, tm=256), not
-            # derived from `chunk`: the TPU runtime deterministically faults
-            # (INVALID_ARGUMENT) when Mosaic kNN programs with *different*
-            # tile widths re-execute in one process (see
-            # tests/test_pallas_stress.py and docs/PERFORMANCE.md). `chunk`
-            # only tunes the XLA fallback path below.
+            # The tile geometry is a deterministic function of the source
+            # length (zero-padding width, see _pallas_tile_n) — NOT derived
+            # from `chunk`, which only tunes the XLA fallback path below.
+            # Same call shape → same Mosaic program, and the kernel name
+            # embeds the geometry, so distinct programs never collide in
+            # the runtime's re-execution cache (the round-1 A,B,A fault;
+            # tests/test_pallas_stress.py, docs/PERFORMANCE.md).
             return knn_pallas(query, source, k, source_mask=source_mask,
-                              tn=2048)
+                              tn=_pallas_tile_n(N))
     if source_mask is None:
         source_mask = jnp.ones((N,), bool)
 

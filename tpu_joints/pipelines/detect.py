@@ -330,6 +330,60 @@ def detect(
         return run()
 
 
+def good_instances(
+    res: DetectionResult,
+    cfg: DetectionConfig,
+    min_separation: float = 0.05,
+):
+    """All distinct GOOD instances in a detection — the multi-instance
+    verdict list of the reference (``SHOT_hypothesis.cpp:653-721`` prints
+    "Instance i is GOOD!" per HV-surviving registered instance).
+
+    The pipeline is compute-all/select-best over ``cfg.max_candidates``
+    refined candidates; in a multi-instance scene each physical instance
+    surfaces as its own Hough peak (set ``cfg.max_instances_per_view >= 2``
+    so one view's accumulator may yield several). This host-side helper
+    extracts every candidate that is valid, HV-verified, and passes the
+    same fitness gate the winner is held to, then greedy-dedupes by
+    location: two candidates whose composed translations sit within
+    ``min_separation`` metres claim the same physical spot and are one
+    instance (the better-fitness one is kept — this also collapses a
+    symmetry flip of an already-kept pose rather than double-counting it).
+
+    Returns a best-first list of dicts with keys ``pose`` (composed
+    CAD→scene, [4, 4] numpy), ``view_idx``, ``fitness``, ``candidate``.
+    """
+    import numpy as np
+
+    poses = np.asarray(res.metrics["cand_full_poses"])
+    use_full = cfg.final_icp_iterations > 0 or cfg.select_by_model_fitness
+    if use_full:
+        fitness = np.asarray(res.metrics["cand_full_fitness"])
+        gate = (cfg.final_accept_fitness if cfg.final_icp_iterations > 0
+                else cfg.accept_fitness)
+    else:
+        fitness = np.asarray(res.cand_fitness)
+        gate = cfg.accept_fitness
+    ok = (np.asarray(res.cand_valid) & np.asarray(res.cand_verified)
+          & (fitness < gate))
+    views = np.asarray(res.cand_views)
+    kept = []
+    for i in np.argsort(fitness):
+        if not ok[i]:
+            continue
+        T = poses[i]
+        if any(np.linalg.norm(T[:3, 3] - k["pose"][:3, 3]) < min_separation
+               for k in kept):
+            continue
+        kept.append({
+            "pose": T,
+            "view_idx": int(views[i]),
+            "fitness": float(fitness[i]),
+            "candidate": int(i),
+        })
+    return kept
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_fused(
     scene: Cloud,
@@ -371,12 +425,26 @@ def detect_with_features(
     cand_init = inst.poses.reshape(V * P, 4, 4)[top_flat]
     cand_ncorrs = inst.n_corrs.reshape(V * P)[top_flat]
 
+    # two-tier refinement (cfg.refine_top > 0): every candidate is refined
+    # and ranked on a stride-reduced row budget, then only the top
+    # ``refine_top`` survivors get the full-budget polish + dense coverage.
+    # The NN distance evaluations of this stage dominate the pipeline's
+    # device time (~2G point-pairs/frame single-tier at bench shapes); the
+    # tier-1 pass runs the identical algorithms at ~1/4 the rows, so the
+    # pair count drops ~(C/refine_top)× while tier 2 alone sets the final
+    # accuracy. refine_top=0 keeps the strict compute-all shape.
+    Ni = bank.icp_xyz.shape[1]
+    two_tier = (
+        0 < cfg.refine_top < C
+        and (cfg.select_by_model_fitness or cfg.final_icp_iterations > 0))
+    stride = max(1, Ni // cfg.tier1_rows) if two_tier else 1
     with jax.named_scope("icp_refine"):
         # all candidates refined in ONE batched ICP: candidate axis folded
         # into the NN query rows (never vmap the chunked top-k scan — see
         # recognize.icp.icp_multi's design note)
         cand_poses, cand_fitness = icp_multi(
-            bank.icp_xyz[cand_views], bank.icp_mask[cand_views],
+            bank.icp_xyz[cand_views][:, ::stride],
+            bank.icp_mask[cand_views][:, ::stride],
             feats.cloud, cand_init,
             iterations=cfg.icp_iterations,
             max_corr_dist=cfg.icp_max_corr_dist,
@@ -420,12 +488,13 @@ def detect_with_features(
     full_cands = jax.vmap(compose)(cand_poses, bank.poses[cand_views])
     if cfg.select_by_model_fitness or cfg.final_icp_iterations > 0:
         C = cand_poses.shape[0]
-        Ni = bank.icp_xyz.shape[1]
-        m_xyz, m_mask = _model_at_capacity(bank, Ni)
+        Nm = bank.model_xyz.shape[0]
+        rows = (Ni + stride - 1) // stride
+        m_xyz, m_mask = _model_at_capacity(bank, rows)
         with jax.named_scope("full_model_polish"):
             polished, model_fit = icp_multi(
-                jnp.broadcast_to(m_xyz, (C, Ni, 3)),
-                jnp.broadcast_to(m_mask, (C, Ni)),
+                jnp.broadcast_to(m_xyz, (C, rows, 3)),
+                jnp.broadcast_to(m_mask, (C, rows)),
                 feats.cloud, full_cands,
                 iterations=cfg.final_icp_iterations,  # 0 = rank only
                 max_corr_dist=cfg.icp_max_corr_dist,
@@ -448,9 +517,12 @@ def detect_with_features(
             # so the model's own sampling tail must sit well inside it —
             # banks store the CAD at up to 8192 shuffled points for exactly
             # this (a 1024-row store put ~8% of on-surface points past
-            # 2 cm and tripped the gate on perfect poses).
-            Nm = bank.model_xyz.shape[0]
-            c_xyz, c_mask = _model_at_capacity(bank, min(Nm, max(4096, Ni)))
+            # 2 cm and tripped the gate on perfect poses). Under two-tier,
+            # tier 1 ranks on a 2048-point target (ranking only needs the
+            # coverage CONTRAST); the acceptance-grade dense pass runs in
+            # tier 2 on the survivors.
+            cov_cap = min(Nm, 2048) if two_tier else min(Nm, max(4096, Ni))
+            c_xyz, c_mask = _model_at_capacity(bank, cov_cap)
             with jax.named_scope("scene_coverage"):
                 coverage, unexplained = scene_coverage_multi(
                     feats.cloud, c_xyz, c_mask, polished,
@@ -464,6 +536,46 @@ def detect_with_features(
             rank_metric = coverage + 0.1 * model_fit
         ranked = jnp.where(cand_valid & cand_verified, rank_metric,
                            jnp.float32(3e38))
+        if two_tier:
+            R = cfg.refine_top
+            _, top_r = jax.lax.top_k(-ranked, R)
+            m2_xyz, m2_mask = _model_at_capacity(bank, Ni)
+            with jax.named_scope("tier2_polish"):
+                polished2, fit2 = icp_multi(
+                    jnp.broadcast_to(m2_xyz, (R, Ni, 3)),
+                    jnp.broadcast_to(m2_mask, (R, Ni)),
+                    feats.cloud, polished[top_r],
+                    iterations=cfg.final_icp_iterations,
+                    max_corr_dist=cfg.icp_max_corr_dist,
+                    max_corr_start=cfg.icp_max_corr_start, chunk=2048,
+                    point_to_plane=cfg.final_point_to_plane,
+                    target_normals=feats.normals,
+                )
+            rank2 = fit2
+            if cfg.rank_scene_coverage:
+                c2_xyz, c2_mask = _model_at_capacity(
+                    bank, min(Nm, max(4096, Ni)))
+                with jax.named_scope("tier2_coverage"):
+                    coverage2, unexplained2 = scene_coverage_multi(
+                        feats.cloud, c2_xyz, c2_mask, polished2,
+                        clip=cfg.coverage_clip, chunk=2048)
+                rank2 = coverage2 + 0.1 * fit2
+                coverage = coverage.at[top_r].set(coverage2)
+                unexplained = unexplained.at[top_r].set(unexplained2)
+            rank2 = jnp.where((cand_valid & cand_verified)[top_r], rank2,
+                              jnp.float32(3e38))
+            polished = polished.at[top_r].set(polished2)
+            model_fit = model_fit.at[top_r].set(fit2)
+            # only tier-2 survivors can win (tier-1 losers were outranked
+            # on the same metric at coarser resolution)
+            ranked = jnp.full_like(ranked, 3e38).at[top_r].set(rank2)
+            # ... in EVERY selection mode: with select_by_model_fitness
+            # off the winner comes from effective_fitness (view fitness),
+            # which must not pick a candidate whose polish stopped at the
+            # coarse tier-1 rows
+            in_top = jnp.zeros((C,), bool).at[top_r].set(True)
+            effective_fitness = jnp.where(in_top, effective_fitness,
+                                          jnp.float32(3e38))
         if cfg.select_by_model_fitness:
             effective_fitness = jnp.where(has_model, ranked, effective_fitness)
     else:
@@ -535,6 +647,14 @@ def detect_with_features(
         metrics["cand_coverage"] = coverage
         metrics["best_unexplained"] = unexplained[best]
         metrics["cand_unexplained"] = unexplained
+    # per-candidate composed CAD→scene poses + full-model fitness, for the
+    # multi-instance GOOD list (``good_instances``; SHOT_hypothesis.cpp's
+    # per-instance verdict loop, :653-721). ``polished``/``model_fit`` fall
+    # back to the unpolished composition / view fitness when no ranking
+    # stage ran, so the fields are always present and C-shaped.
+    metrics["cand_full_poses"] = jnp.where(has_model, polished, full_cands)
+    metrics["cand_full_fitness"] = jnp.where(has_model, model_fit,
+                                             cand_fitness)
     return DetectionResult(
         full_pose=full_pose,
         view_pose=view_pose,
