@@ -15,7 +15,12 @@ CFG = DetectionConfig(
     normal_k=12, match_mode="nn", match_threshold=0.25,
     algorithm="hough", cg_size=0.05, cg_thresh=3.0,
     icp_iterations=20, max_candidates=4, accept_fitness=0.001,
-    scene_capacity=4096, scene_key_capacity=256, k_max=96,
+    # 512 keys: the rendered view yields ~390 uniform samples at 0.03 —
+    # an undersized budget would thin them uniformly (compact_indices),
+    # and on the featureless smooth joint the thinned key set flips the
+    # pose; this test's subject is the coarse-to-fine SEARCH policy, so
+    # give it the full key field
+    scene_capacity=4096, scene_key_capacity=512, k_max=96,
 )
 
 

@@ -68,6 +68,9 @@ def test_compact(rng):
     out, idx = compact_cloud(c, jnp.asarray(sel), 8)
     assert int(out.count()) == 3
     np.testing.assert_allclose(to_numpy(out), pts[[3, 10, 20]], atol=0)
+    # overflow thins UNIFORMLY (every ceil(n/cap)-th selected lane), not by
+    # prefix — lanes arrive in spatial order, so a prefix would silently
+    # drop a contiguous scene region (see compact_indices docstring)
     i, v = compact_indices(jnp.asarray(sel), 2)
-    assert np.asarray(i)[:2].tolist() == [3, 10]
+    assert np.asarray(i)[:2].tolist() == [3, 20]
     assert np.asarray(v).all()

@@ -139,8 +139,15 @@ def test_detect_from_organized_end_to_end(rng):
         # independent surface sampling + partial views: trim occluded
         # correspondences, coarse-to-fine so the Hough basin is kept
         icp_max_corr_dist=0.02, icp_max_corr_start=0.2,
-        final_icp_iterations=3, final_accept_fitness=0.006,
-        scene_capacity=8192, scene_key_capacity=256, k_max=96,
+        # 8 full-CAD polish iterations: the Hough init off the full key
+        # field sits a few cm slid along the chord; 3 iterations leave
+        # ~4°/70 mm, 8 converge to 0.3°/1.4 mm (measured CPU A/B)
+        final_icp_iterations=8, final_accept_fitness=0.006,
+        # 384 keys: the frame yields ~280 uniform samples at 0.03 — an
+        # undersized budget thins them (filters.compact_indices) and the
+        # smooth joint's pose flips under the sparser key field; this
+        # test's subject is the organized INGEST chain, so no thinning
+        scene_capacity=8192, scene_key_capacity=384, k_max=96,
     )
     scene, normals, curvature, n_sel = ingest_organized(
         xyz_img, valid, capacity=cfg.scene_capacity, leaf=0.008,

@@ -221,8 +221,15 @@ def test_segmented_ingest_detect_e2e(rng):
         rf_frames="board", rf_rad=0.06, cg_size=0.05, cg_thresh=3.0,
         icp_iterations=6, icp_point_to_plane=True,
         icp_max_corr_dist=0.02, icp_max_corr_start=0.2,
-        final_icp_iterations=8, max_candidates=16,
+        # 16 polish iterations: from the full-key-field Hough init, 8
+        # leave 8.4°/89 mm while 16 converge to 0.00°/0.8 mm (CPU A/B)
+        final_icp_iterations=16, max_candidates=16,
         max_instances_per_view=1, k_max=96,
+        # 512 keys: the lattice-cropped frame yields ~370 uniform samples
+        # at 0.02 — an undersized budget thins them uniformly
+        # (filters.compact_indices) and the pose flips on the sparser
+        # field; this test's subject is the segmentation front end
+        scene_key_capacity=512,
     )
 
     rngm = np.random.default_rng(7)

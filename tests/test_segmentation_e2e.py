@@ -94,7 +94,19 @@ def _run_preset(rng, preset, maker, **bank_extra):
         # any surface) cannot bridge into the plane/joint clusters
         rg_max_edge=0.06,
         ratio=0.95 if preset == "fpfh_demo" else 1.0,
-        scene_capacity=8192, scene_key_capacity=768, k_max=96,
+        # 1024 keys: the crop keeps the joint plus a legitimate smooth
+        # remnant of the table plane, ~800+ uniform samples at 0.03 — a
+        # 768 budget thinned them uniformly (filters.compact_indices) and
+        # GC lost every instance on the sparser field
+        scene_capacity=8192, scene_key_capacity=1024, k_max=96,
+        # FPFH on the knobby model: the corner plates' histograms are
+        # near-identical to the table plane's, so plane keys flood the
+        # ratio matches and GC groups a consistent wrong instance on the
+        # table — SAC dominant-plane removal (segmentation.cpp:80-110,
+        # retained in 6Dpose.cpp:287-358) clears it and the true pose wins
+        # at 0.1°/1 mm. SHOT's LRF-binned histograms separate plate from
+        # plane, so the shot_demo variant doesn't need it.
+        remove_plane=(preset == "fpfh_demo"),
     )
     assert cfg.segment_scene, "preset must carry the reference's scene crop"
     model_xyz, scene_xyz, T_gt, n_joint, n_clutter = _cluttered_problem(

@@ -301,10 +301,18 @@ def cmd_scenes(args) -> None:
     for path in args.scene:
         _, part, res = _detect_one(path, banks, cfg, args)
         _print_result(os.path.basename(path), res, part)
-        # SHOT_hypothesis prints a GOOD/bad verdict per instance (:653-720)
+        # SHOT_hypothesis prints a GOOD/bad verdict per instance (:653-720);
+        # multi-instance scenes surface every distinct surviving candidate
+        from tpu_joints.pipelines import good_instances
+
         verdict = "GOOD" if bool(res.accepted) else "bad"
         n_good += bool(res.accepted)
         print(f"    verdict: {verdict}")
+        for j, k in enumerate(good_instances(res, cfg)):
+            t = k["pose"][:3, 3]
+            print(f"    instance {j} is GOOD! view={k['view_idx']} "
+                  f"fitness={k['fitness']:.3e} "
+                  f"t=({t[0]:.4f}, {t[1]:.4f}, {t[2]:.4f})")
     print(f"{n_good}/{len(args.scene)} scenes accepted")
 
 

@@ -114,9 +114,26 @@ def uniform_sample_mask(cloud: Cloud, radius: float) -> jnp.ndarray:
 
 
 def compact_indices(mask: jnp.ndarray, capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stable padded compaction: indices of the first ``capacity`` selected
+    """Stable padded compaction: indices of up to ``capacity`` selected
     lanes plus a validity mask. Static output shape; order-preserving.
+
+    When more than ``capacity`` lanes are selected, the selection is
+    thinned UNIFORMLY — exactly ``capacity`` evenly spaced keeps — rather
+    than prefix-truncated: lanes arrive in spatial order (concatenation /
+    sensor-raster), so "first capacity" would silently drop a contiguous
+    region of the scene — measured as all keypoints landing on one of two
+    object instances and the other becoming undetectable.
     """
+    sel = mask.astype(jnp.int32)
+    n = jnp.sum(sel)
+    rank = jnp.cumsum(sel) - 1  # rank of each selected lane, in lane order
+    # Bresenham decimation: keep selected rank r iff floor(r·c/n) advances
+    # over floor((r−1)·c/n) — exactly min(n, capacity) evenly spaced keeps
+    # (a plain stride ceil(n/c) over-thins marginal overflows, e.g.
+    # 282 selected at capacity 256 would drop to 141).
+    s = jnp.float32(capacity) / jnp.maximum(n, 1).astype(jnp.float32)
+    r = rank.astype(jnp.float32)
+    mask = mask & (jnp.floor(r * s) > jnp.floor((r - 1.0) * s))
     order = jnp.argsort(jnp.logical_not(mask), stable=True)
     idx = order[:capacity]
     return idx, mask[idx]

@@ -8,6 +8,7 @@ from tpu_joints.pipelines.detect import (
     SceneFeatures,
     detect,
     detect_with_features,
+    good_instances,
     match_bank,
     prepare_scene,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "detect",
     "detect_tree",
     "detect_with_features",
+    "good_instances",
     "make_view_clusters",
     "match_bank",
     "prepare_scene",

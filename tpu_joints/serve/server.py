@@ -242,6 +242,7 @@ class DetectionService:
     def _detect_scene(self, scene, normals=None, curvature=None,
                       cfg=None) -> dict:
         from tpu_joints.core.transforms import transform_points
+        from tpu_joints.pipelines import good_instances
 
         if not self._slots.acquire(blocking=False):
             self.n_rejected += 1
@@ -270,6 +271,13 @@ class DetectionService:
             "view_idx": view,
             "n_corrs": int(res.n_corrs),
             "grasp_centroid": (centroid + self.grasp_offset).tolist(),
+            # every distinct GOOD instance (SHOT_hypothesis.cpp:653-721's
+            # per-instance verdict loop) — multi-instance scenes report all
+            "instances": [
+                {"pose": k["pose"].tolist(), "view_idx": k["view_idx"],
+                 "fitness": k["fitness"]}
+                for k in good_instances(res, cfg or self.cfg)
+            ],
             "obb": {
                 "position": np.asarray(res.obb.position).tolist(),
                 "rotation": np.asarray(res.obb.rotation).tolist(),
