@@ -352,20 +352,40 @@ def good_instances(
 
     Returns a best-first list of dicts with keys ``pose`` (composed
     CAD→scene, [4, 4] numpy), ``view_idx``, ``fitness``, ``candidate``.
+
+    Caveats: multi-part results (``pipelines.multi``) carry no candidate
+    pose table — they return ``[]`` here (each part already reports
+    separately). Under two-tier refinement (``cfg.refine_top > 0``)
+    instances beyond the top ``refine_top`` carry the tier-1
+    (stride-reduced) polish and fitness.
     """
     import numpy as np
 
+    if "cand_full_poses" not in res.metrics:
+        return []
     poses = np.asarray(res.metrics["cand_full_poses"])
-    use_full = cfg.final_icp_iterations > 0 or cfg.select_by_model_fitness
-    if use_full:
+    has_model = bool(np.asarray(res.metrics.get("has_model", True)))
+    # mirror the winner's acceptance quantity EXACTLY (detect gates the
+    # best candidate on full-CAD fitness only when a final polish ran on a
+    # bank that stores the CAD; otherwise on the view fitness). A stricter
+    # gate here would make an accepted detection report zero instances —
+    # e.g. the shot_hypothesis preset accepts on view fitness < 1e-3 while
+    # full-CAD fitness of TRUE poses sits at the ~4e-3 back-of-CAD floor.
+    if cfg.final_icp_iterations > 0 and has_model:
         fitness = np.asarray(res.metrics["cand_full_fitness"])
-        gate = (cfg.final_accept_fitness if cfg.final_icp_iterations > 0
-                else cfg.accept_fitness)
+        gate = cfg.final_accept_fitness
     else:
         fitness = np.asarray(res.cand_fitness)
         gate = cfg.accept_fitness
     ok = (np.asarray(res.cand_valid) & np.asarray(res.cand_verified)
           & (fitness < gate))
+    # the winner's scene-coverage gate applies to every instance: a flip
+    # that passes the fitness gate but cannot explain the scene must not
+    # be reported GOOD (detect.py's coverage_accept semantics)
+    if (cfg.coverage_accept > 0.0 and has_model
+            and "cand_unexplained" in res.metrics):
+        ok &= (np.asarray(res.metrics["cand_unexplained"])
+               < cfg.coverage_accept)
     views = np.asarray(res.cand_views)
     kept = []
     for i in np.argsort(fitness):
@@ -572,9 +592,13 @@ def detect_with_features(
             # ... in EVERY selection mode: with select_by_model_fitness
             # off the winner comes from effective_fitness (view fitness),
             # which must not pick a candidate whose polish stopped at the
-            # coarse tier-1 rows
+            # coarse tier-1 rows. EXCEPT for no-model banks: their tier-1
+            # ranking ran on the all-masked placeholder model, so its
+            # top_r is meaningless and must not restrict the view-fitness
+            # selection.
             in_top = jnp.zeros((C,), bool).at[top_r].set(True)
-            effective_fitness = jnp.where(in_top, effective_fitness,
+            effective_fitness = jnp.where(in_top | ~has_model,
+                                          effective_fitness,
                                           jnp.float32(3e38))
         if cfg.select_by_model_fitness:
             effective_fitness = jnp.where(has_model, ranked, effective_fitness)
@@ -601,6 +625,17 @@ def detect_with_features(
         full_fitness = jnp.where(has_model & cfg.select_by_model_fitness,
                                  model_fit[best], fitness)
         accepted = (fitness < cfg.accept_fitness)
+    if two_tier and cfg.final_icp_iterations > 0:
+        # the winner's tier-1 view_pose was refined at stride-reduced rows;
+        # re-derive the view→scene transform from the tier-2 polished
+        # composed pose (full = view ∘ T_org ⇒ view = full ∘ T_org⁻¹) so
+        # the aligned cloud, OBB and grasp centroid are tier-2-grade
+        from tpu_joints.core.transforms import invert_rigid
+
+        view_pose = jnp.where(
+            has_model,
+            compose(full_pose, invert_rigid(bank.poses[view_idx])),
+            view_pose)
     accepted = accepted & cand_valid[best] & cand_verified[best]
     if unexplained is not None and cfg.coverage_accept > 0.0:
         # scene-coverage acceptance gate: even the best candidate must
@@ -655,6 +690,7 @@ def detect_with_features(
     metrics["cand_full_poses"] = jnp.where(has_model, polished, full_cands)
     metrics["cand_full_fitness"] = jnp.where(has_model, model_fit,
                                              cand_fitness)
+    metrics["has_model"] = has_model
     return DetectionResult(
         full_pose=full_pose,
         view_pose=view_pose,

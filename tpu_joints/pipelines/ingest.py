@@ -39,17 +39,21 @@ def _even_spread(keep: jnp.ndarray, n_selected: jnp.ndarray,
     Plain compaction keeps the first ``capacity`` survivors — on an
     organized frame that is the top of the image, which silently crops the
     bottom of the scene whenever a large background surface (table, wall)
-    pushes the survivor count over capacity. Even thinning keeps every
-    ⌈n/capacity⌉-th survivor instead: uniform density loss, no spatial
-    bias. No-op when n ≤ capacity.
+    pushes the survivor count over capacity. Bresenham decimation keeps
+    exactly ``min(n, capacity)`` survivors evenly spaced instead: uniform
+    density loss, no spatial bias, and no over-thinning at marginal
+    overflows (a plain ⌈n/c⌉ stride would halve a 9000-survivor frame at
+    capacity 8192). No-op when n ≤ capacity. Mirrors
+    ``filters.compact_indices``.
     """
     ki = keep.astype(jnp.int32)
     rank = jnp.cumsum(ki) - ki  # 0-based rank among survivors
     n = jnp.maximum(n_selected, 1)
-    # dynamic stride (int32-safe: no rank*capacity products): keeps
-    # n // stride ≤ capacity survivors, evenly spaced
-    stride = (n + capacity - 1) // capacity
-    return keep & (rank % stride == 0)
+    # float32 is exact for ranks ≤ 2^24 (frames are ≤ 640·480) and avoids
+    # rank*capacity int32 overflow
+    s = jnp.float32(capacity) / n.astype(jnp.float32)
+    r = rank.astype(jnp.float32)
+    return keep & (jnp.floor(r * s) > jnp.floor((r - 1.0) * s))
 
 
 def _tile_select(xyz_img, valid, block, crop_lo, crop_hi):

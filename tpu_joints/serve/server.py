@@ -285,10 +285,13 @@ class DetectionService:
                 "euler_deg": np.degrees(np.asarray(res.obb.euler)).tolist(),
             },
             # metrics hold traced scalars plus a few per-candidate vectors
-            # (cand_coverage / cand_unexplained) — emit vectors as lists
+            # (cand_coverage / cand_unexplained) — emit vectors as lists.
+            # The [C,4,4] candidate pose table stays out of the payload:
+            # the "instances" field above already carries the GOOD subset
             "metrics": {k: (float(a) if a.ndim == 0 else a.tolist())
                         for k, a in ((k, np.asarray(v))
-                                     for k, v in res.metrics.items())},
+                                     for k, v in res.metrics.items())
+                        if k != "cand_full_poses"},
             "latency_ms": round(latency_ms, 3),
         }
 
