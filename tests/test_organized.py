@@ -173,3 +173,26 @@ def test_detect_from_organized_end_to_end(rng):
     # initialized AT ground truth converges to ~0.3°/6 mm on this data)
     assert ang < 2.0, f"rotation error {ang}°"
     assert terr < 0.015, f"translation error {terr*1000:.1f} mm"
+
+
+def test_even_spread_exact_capacity():
+    """Overflow thinning keeps EXACTLY min(n, capacity) survivors, evenly
+    spread (Bresenham) — a ceil-stride would halve marginal overflows
+    (e.g. 282 survivors at capacity 256 → 141)."""
+    import jax.numpy as jnp
+
+    from tpu_joints.pipelines.ingest import _even_spread
+
+    N = 1000
+    for n_sel, cap in ((282, 256), (256, 256), (999, 256), (100, 256)):
+        keep = np.zeros(N, bool)
+        keep[np.linspace(0, N - 1, n_sel).astype(int)] = True
+        n_true = int(keep.sum())  # linspace may collide; use actual
+        out = np.asarray(_even_spread(jnp.asarray(keep),
+                                      jnp.asarray(n_true), cap))
+        assert out.sum() == min(n_true, cap), (n_sel, cap, int(out.sum()))
+        assert not (out & ~keep).any()  # only thins, never adds
+        if n_true > cap:
+            # evenly spread: no half of the array holds > 65% of keeps
+            lo = out[:N // 2].sum()
+            assert 0.35 * out.sum() < lo < 0.65 * out.sum()

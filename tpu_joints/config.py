@@ -105,7 +105,9 @@ class DetectionConfig:
     # stage — the latency-dominant compute of the whole pipeline — drops
     # ~(C/refine_top)× while the final accuracy is set entirely by the
     # tier-2 pass. 0 = single-tier (every candidate gets the full budget),
-    # the strict compute-all reference shape.
+    # the strict compute-all reference shape. Applies to the single-part
+    # detect pipeline; ``pipelines.multi.detect_parts`` always runs
+    # single-tier (its per-part candidate fields are already small).
     refine_top: int = 0
     # per-candidate ICP/polish row budget of the tier-1 pass (stride
     # subsample of the bank's icp clouds); only read when refine_top > 0

@@ -228,6 +228,10 @@ def detect_parts(
     (see module docstring). Acceptance stays per-part (a scene may contain
     any subset of parts — inspect ``per_part`` for all of them, as the
     reference prints every instance it finds).
+
+    ``cfg.refine_top`` (two-tier refinement) is a single-part detect
+    optimization and is ignored here: every candidate gets the full
+    refinement budget (per-part candidate fields are already small).
     """
     if not banks:
         raise ValueError("no part banks given")
