@@ -39,8 +39,25 @@ def test_cli_bank_and_detect(workdir, capsys):
     cli(["bank", str(workdir / "model.pcd"),
                    "--out", str(workdir / "bank.npz"),
                    "--level", "0", "--resolution", "64",
-                   "--key_capacity", "48"] + COMMON)
+                   "--key_capacity", "48",
+                   "--dump-txt", str(workdir / "dumps")] + COMMON)
     assert (workdir / "bank.npz").exists()
+
+    # reference bank-artifact parity: one Partial_View<l>.txt per view,
+    # one descriptor component per line (CAD_desc.cpp:354-370)
+    from tpu_joints.modelbank import load_bank
+
+    bank = load_bank(str(workdir / "bank.npz"))
+    dumps = sorted((workdir / "dumps").glob("Partial_View*.txt"))
+    assert len(dumps) == bank.n_views
+    D = bank.desc.shape[-1]
+    vals = np.loadtxt(str(workdir / "dumps" / "Partial_View0.txt"))
+    n_valid = int(np.asarray(bank.key_valid[0]).sum())
+    assert vals.size == n_valid * D
+    np.testing.assert_allclose(
+        vals.reshape(n_valid, D),
+        np.asarray(bank.desc[0])[np.asarray(bank.key_valid[0])],
+        rtol=1e-4, atol=1e-6)
 
     # use the largest rendered view as the scene (known recoverable pose)
     views = sorted((workdir / "views").glob("*.pcd"))

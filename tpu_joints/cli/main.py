@@ -150,6 +150,21 @@ def cmd_bank(args) -> None:
     save_bank(args.out, bank)
     print(f"bank: {bank.n_views} views, desc {tuple(bank.desc.shape)}, "
           f"hash {bank.params_hash} → {args.out}")
+    if args.dump_txt:
+        # the reference's bank artifact: one Partial_View<l>.txt per view,
+        # one descriptor component per line, valid keypoints in order
+        # (CAD_desc.cpp:354-370)
+        os.makedirs(args.dump_txt, exist_ok=True)
+        desc = np.asarray(bank.desc)
+        valid = np.asarray(bank.key_valid)
+        for l in range(bank.n_views):
+            path = os.path.join(args.dump_txt, f"Partial_View{l}.txt")
+            with open(path, "w") as f:
+                for row in desc[l][valid[l]]:
+                    f.write("\n".join(f"{v:g}" for v in row))
+                    f.write("\n")
+        print(f"dumped {bank.n_views} Partial_View<l>.txt files "
+              f"→ {args.dump_txt}")
 
 
 def _load_banks(args) -> dict:
@@ -449,6 +464,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--level", type=int, default=1)
     p.add_argument("--resolution", type=int, default=100)
     p.add_argument("--key_capacity", type=int, default=256)
+    p.add_argument("--dump-txt", dest="dump_txt", default=None,
+                   metavar="DIR",
+                   help="also write the reference's Partial_View<l>.txt "
+                        "descriptor dumps (CAD_desc.cpp:354-370)")
     _add_reference_flags(p)
     p.set_defaults(fn=cmd_bank)
 
