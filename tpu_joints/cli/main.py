@@ -439,8 +439,12 @@ def cmd_serve(args) -> None:
     from tpu_joints.serve import serve_forever
 
     cfg = _config_from_args(args)
+    warm = None
+    if args.warm_depth:
+        w, h = (int(v) for v in args.warm_depth.lower().split("x"))
+        warm = (h, w)
     serve_forever(load_bank(args.bank), cfg, host=args.host, port=args.port,
-                  grasp_offset=tuple(args.grasp_offset))
+                  grasp_offset=tuple(args.grasp_offset), warm_depth=warm)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -541,6 +545,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grasp_offset", type=float, nargs=3, default=[0.0, 0.0, 0.0],
                    help="added to the model centroid before replying "
                         "(the reference offsets x+1, z-0.8)")
+    p.add_argument("--warm-depth", dest="warm_depth", default=None,
+                   metavar="WxH",
+                   help="pre-compile the fused depth-frame executable for "
+                        "this sensor shape at startup (e.g. 640x480) - a "
+                        "cold TPU compile takes minutes")
     _add_reference_flags(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -106,17 +106,8 @@ class DetectionService:
         max_retries: int = 2,
         retry_backoff_s: float = 0.1,
     ):
-        import dataclasses
-
         self.bank = bank
         self.cfg = cfg
-        # organized frames segment on the sensor lattice inside ingest
-        # (pipelines.ingest.ingest_organized_segmented), so detect must not
-        # re-run the generic crop chain on the already-cropped working set;
-        # unorganized point submissions keep the full cfg (prepare_scene
-        # runs the generic SAC + region-growing path for those)
-        self._organized_cfg = dataclasses.replace(
-            cfg, segment_scene=False, remove_plane=False)
         self.grasp_offset = np.asarray(grasp_offset, np.float32)
         self._lock = threading.Lock()
         self._slots = threading.BoundedSemaphore(max_pending)
@@ -127,10 +118,25 @@ class DetectionService:
         self.n_rejected = 0
         self.n_retries = 0
 
-    def warmup(self) -> None:
-        """Compile the pipeline before the first request lands."""
+    def warmup(self, depth_shape=None, fov_deg: float = 57.0) -> None:
+        """Compile the pipeline before the first request lands.
+
+        ``depth_shape=(H, W)`` additionally compiles the fused organized
+        frame→pose executable for that sensor shape (a cold TPU compile
+        takes minutes — far beyond any sane request timeout) by rendering
+        the bank's first view into a synthetic depth frame.
+        """
         dummy = np.zeros((16, 3), np.float32)
         self.detect_points(dummy)
+        if depth_shape is not None:
+            from tpu_joints.serve.depth import FakeDepthCamera
+
+            H, W = depth_shape
+            cam = FakeDepthCamera(width=W, height=H, fov_deg=fov_deg)
+            pts = np.asarray(self.bank.view_xyz[0])[
+                np.asarray(self.bank.view_mask[0])]
+            depth = cam.render(pts, splat=3)
+            self.detect_depth(depth, fov_deg=fov_deg)
 
     def detect_depth(self, depth: np.ndarray, fov_deg: float = 57.0,
                      near: float = 0.0, far: float = 0.0) -> dict:
@@ -141,7 +147,7 @@ class DetectionService:
         path, ``ROS_server.cpp:2112-2176`` → ``SHOT.cpp:204``)."""
         import jax.numpy as jnp
 
-        from tpu_joints.pipelines.ingest import ingest_organized_blocks
+        from tpu_joints.pipelines.detect import detect_organized
         from tpu_joints.serve.depth import depth_to_cloud
 
         depth = np.asarray(depth, np.float32)
@@ -158,30 +164,30 @@ class DetectionService:
         Hc, Wc = H - H % block, W - W % block
         img = jnp.asarray(np.nan_to_num(xyz_img[:Hc, :Wc]))
         vmask = jnp.asarray(valid[:Hc, :Wc])
-        if self.cfg.segment_scene or self.cfg.remove_plane:
-            from tpu_joints.pipelines.ingest import ingest_organized_segmented
+        # ONE fused device program: ingest (+ the reference's lattice crop
+        # chain when cfg.segment_scene/remove_plane are set) → features →
+        # match → refine. Under a remote attachment every dispatch costs a
+        # control-channel send (~10 ms measured on v5e-via-tunnel), so the
+        # serving path uses the same one-dispatch executable as the bench.
+        def run():
+            res, _n_sel = detect_organized(
+                img, vmask, self.bank, self.cfg, block=block, half_window=5,
+                fused=True)
+            return res
 
-            # the reference's crop chain (plane removal + region growing +
-            # curvature filter) runs on the sensor lattice inside ingest —
-            # detect then sees the already-cropped scene (_organized_cfg).
-            # No sparse-frame fallback here: a small survivor count is the
-            # segmentation doing its job (table/clutter removed), and the
-            # unorganized fallback would skip the crop chain entirely.
-            scene, normals, curvature, _ = ingest_organized_segmented(
-                img, vmask, self.cfg, block=block, half_window=5)
-        else:
-            scene, normals, curvature, _ = ingest_organized_blocks(
-                img, vmask, block=block, half_window=5, capacity=cap)
-            n_organized = int(np.asarray(scene.mask.sum()))
+        res, latency_ms = self._guarded(run)
+        if not (self.cfg.segment_scene or self.cfg.remove_plane):
+            # (a small survivor count under segmentation is the crop chain
+            # doing its job — table/clutter removed — never a fallback)
+            n_organized = int(np.asarray(res.metrics["scene_points"]))
             if (n_organized < min(64, cap // 8)
                     and n_organized < valid.sum() // 2):
                 # the frame is too sparse for stencil normals (e.g. a
                 # splatted point render, not a real sensor surface) — fall
-                # back to the unordered path rather than detect on a
-                # starved working set
+                # back to the unordered path rather than return a detection
+                # off a starved working set
                 return self.detect_points(xyz_img[valid])
-        return self._detect_scene(scene, normals=normals,
-                                  curvature=curvature, cfg=self._organized_cfg)
+        return self._payload(res, latency_ms, self.cfg)
 
     def detect_points(self, pts: np.ndarray) -> dict:
         pts = np.asarray(pts, np.float32).reshape(-1, 3)
@@ -210,24 +216,19 @@ class DetectionService:
             scene = make_cloud(pts, capacity=cap)
         return self._detect_scene(scene)
 
-    def _detect_with_retry(self, scene, normals, curvature, cfg=None):
-        """Run the jitted chain with bounded retry/backoff on transient
-        runtime faults (the reference's failure story is
+    def _run_with_retry(self, fn):
+        """Run a jitted detection thunk with bounded retry/backoff on
+        transient runtime faults (the reference's failure story is
         continue-with-stale-cloud, ``SHOT.cpp:260-265``; round 2's was a
         single-shot INVALID_ARGUMENT retry — VERDICT item 9 broadens it to
         the transient-code family with exponential backoff)."""
         import jax
 
-        from tpu_joints.pipelines.detect import detect
-
         last = None
         for attempt in range(self.max_retries + 1):
             try:
-                # sync=False: the retry policy lives HERE (detect's own
-                # sync=True single-shot retry would nest with this one);
                 # block inside the try so async faults surface to it
-                res = detect(scene, self.bank, cfg or self.cfg,
-                             scene_normals=normals, scene_curvature=curvature)
+                res = fn()
                 jax.block_until_ready(res.full_pose)
                 return res
             except jax.errors.JaxRuntimeError as e:
@@ -239,22 +240,44 @@ class DetectionService:
                     time.sleep(self.retry_backoff_s * (2 ** attempt))
         raise last
 
-    def _detect_scene(self, scene, normals=None, curvature=None,
-                      cfg=None) -> dict:
-        from tpu_joints.core.transforms import transform_points
-        from tpu_joints.pipelines import good_instances
+    def _detect_with_retry(self, scene, normals, curvature, cfg=None):
+        from tpu_joints.pipelines.detect import detect
 
+        # sync=False: the retry policy lives in _run_with_retry (detect's
+        # own sync=True single-shot retry would nest with this one)
+        return self._run_with_retry(lambda: detect(
+            scene, self.bank, cfg or self.cfg,
+            scene_normals=normals, scene_curvature=curvature))
+
+    def _guarded(self, fn):
+        """Backpressure slot + single-writer lock + request timing around a
+        retry-wrapped detection thunk. Returns (result, latency_ms)."""
         if not self._slots.acquire(blocking=False):
             self.n_rejected += 1
             raise Busy("detection queue full")
         try:
             with self._lock:
                 t0 = time.perf_counter()
-                res = self._detect_with_retry(scene, normals, curvature, cfg)
+                res = self._run_with_retry(fn)
                 latency_ms = (time.perf_counter() - t0) * 1000.0
                 self.n_requests += 1
         finally:
             self._slots.release()
+        return res, latency_ms
+
+    def _detect_scene(self, scene, normals=None, curvature=None,
+                      cfg=None) -> dict:
+        from tpu_joints.pipelines.detect import detect
+
+        eff = cfg or self.cfg
+        res, latency_ms = self._guarded(lambda: detect(
+            scene, self.bank, eff,
+            scene_normals=normals, scene_curvature=curvature))
+        return self._payload(res, latency_ms, eff)
+
+    def _payload(self, res, latency_ms, cfg) -> dict:
+        from tpu_joints.core.transforms import transform_points
+        from tpu_joints.pipelines import good_instances
 
         view = int(res.view_idx)
         aligned = np.asarray(
@@ -276,7 +299,7 @@ class DetectionService:
             "instances": [
                 {"pose": k["pose"].tolist(), "view_idx": k["view_idx"],
                  "fitness": k["fitness"]}
-                for k in good_instances(res, cfg or self.cfg)
+                for k in good_instances(res, cfg)
             ],
             "obb": {
                 "position": np.asarray(res.obb.position).tolist(),
@@ -372,9 +395,10 @@ def serve_forever(
     host: str = "127.0.0.1",
     port: int = 8337,
     grasp_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    warm_depth=None,
 ) -> None:
     service = DetectionService(bank, cfg, grasp_offset)
-    service.warmup()
+    service.warmup(depth_shape=warm_depth)
     server = make_server(service, host, port)
     print(f"tpu_joints detection server on http://{host}:{port} "
           f"(bank: {bank.n_views} views)")
