@@ -175,24 +175,26 @@ def test_detect_from_organized_end_to_end(rng):
     assert terr < 0.015, f"translation error {terr*1000:.1f} mm"
 
 
-def test_even_spread_exact_capacity():
-    """Overflow thinning keeps EXACTLY min(n, capacity) survivors, evenly
-    spread (Bresenham) — a ceil-stride would halve marginal overflows
+def test_overflow_decimation_exact_capacity():
+    """Overflow compaction keeps EXACTLY min(n, capacity) survivors, evenly
+    spread (Bresenham in filters.compact_indices, which every ingest path
+    routes through) — a ceil-stride would halve marginal overflows
     (e.g. 282 survivors at capacity 256 → 141)."""
     import jax.numpy as jnp
 
-    from tpu_joints.pipelines.ingest import _even_spread
+    from tpu_joints.filters import compact_indices
 
     N = 1000
     for n_sel, cap in ((282, 256), (256, 256), (999, 256), (100, 256)):
         keep = np.zeros(N, bool)
         keep[np.linspace(0, N - 1, n_sel).astype(int)] = True
         n_true = int(keep.sum())  # linspace may collide; use actual
-        out = np.asarray(_even_spread(jnp.asarray(keep),
-                                      jnp.asarray(n_true), cap))
-        assert out.sum() == min(n_true, cap), (n_sel, cap, int(out.sum()))
-        assert not (out & ~keep).any()  # only thins, never adds
+        idx, ok = compact_indices(jnp.asarray(keep), cap)
+        kept = np.zeros(N, bool)
+        kept[np.asarray(idx)[np.asarray(ok)]] = True
+        assert kept.sum() == min(n_true, cap), (n_sel, cap, int(kept.sum()))
+        assert not (kept & ~keep).any()  # only thins, never adds
         if n_true > cap:
             # evenly spread: no half of the array holds > 65% of keeps
-            lo = out[:N // 2].sum()
-            assert 0.35 * out.sum() < lo < 0.65 * out.sum()
+            lo = kept[:N // 2].sum()
+            assert 0.35 * kept.sum() < lo < 0.65 * kept.sum()

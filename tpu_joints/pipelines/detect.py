@@ -355,9 +355,10 @@ def good_instances(
 
     Caveats: multi-part results (``pipelines.multi``) carry no candidate
     pose table — they return ``[]`` here (each part already reports
-    separately). Under two-tier refinement (``cfg.refine_top > 0``)
-    instances beyond the top ``refine_top`` carry the tier-1
-    (stride-reduced) polish and fitness.
+    separately). Under two-tier refinement (``cfg.refine_top > 0``) only
+    the tier-2 survivors are eligible — tier-1 poses/fitness/coverage are
+    ranking-grade, not acceptance-grade — so set ``refine_top`` to at
+    least the number of instances a scene may contain (or 0).
     """
     import numpy as np
 
@@ -379,6 +380,9 @@ def good_instances(
         gate = cfg.accept_fitness
     ok = (np.asarray(res.cand_valid) & np.asarray(res.cand_verified)
           & (fitness < gate))
+    if "cand_tier2" in res.metrics:
+        # only acceptance-grade candidates may be reported (see docstring)
+        ok &= np.asarray(res.metrics["cand_tier2"])
     # the winner's scene-coverage gate applies to every instance: a flip
     # that passes the fitness gate but cannot explain the scene must not
     # be reported GOOD (detect.py's coverage_accept semantics)
@@ -454,9 +458,11 @@ def detect_with_features(
     # pair count drops ~(C/refine_top)× while tier 2 alone sets the final
     # accuracy. refine_top=0 keeps the strict compute-all shape.
     Ni = bank.icp_xyz.shape[1]
-    two_tier = (
-        0 < cfg.refine_top < C
-        and (cfg.select_by_model_fitness or cfg.final_icp_iterations > 0))
+    # two-tier REQUIRES a tier-2 polish (final_icp_iterations > 0): with a
+    # rank-only final stage the view ICP would be the only refinement, and
+    # striding it would ship coarser poses than single-tier with nothing
+    # downstream to recover them
+    two_tier = 0 < cfg.refine_top < C and cfg.final_icp_iterations > 0
     stride = max(1, Ni // cfg.tier1_rows) if two_tier else 1
     with jax.named_scope("icp_refine"):
         # all candidates refined in ONE batched ICP: candidate axis folded
@@ -637,6 +643,14 @@ def detect_with_features(
             compose(full_pose, invert_rigid(bank.poses[view_idx])),
             view_pose)
     accepted = accepted & cand_valid[best] & cand_verified[best]
+    if cfg.coverage_accept > 0.0 and unexplained is None:
+        # the gate depends on the coverage computation — fail loudly at
+        # trace time instead of silently accepting the flips it exists to
+        # reject (cfg attrs are static, so this is a config error, not data)
+        raise ValueError(
+            "coverage_accept > 0 requires rank_scene_coverage=True plus a "
+            "ranking stage (select_by_model_fitness=True or "
+            "final_icp_iterations > 0)")
     if unexplained is not None and cfg.coverage_accept > 0.0:
         # scene-coverage acceptance gate: even the best candidate must
         # EXPLAIN the scene — at most ``coverage_accept`` of the scene's
@@ -691,6 +705,11 @@ def detect_with_features(
     metrics["cand_full_fitness"] = jnp.where(has_model, model_fit,
                                              cand_fitness)
     metrics["has_model"] = has_model
+    # which candidates carry tier-2 (acceptance-grade) values: all of them
+    # single-tier; only the refine_top survivors under two-tier (the rest
+    # keep tier-1 stride-reduced poses/fitness/coverage — ranking-grade)
+    metrics["cand_tier2"] = (in_top if two_tier
+                             else jnp.ones((C,), bool))
     return DetectionResult(
         full_pose=full_pose,
         view_pose=view_pose,

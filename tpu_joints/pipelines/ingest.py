@@ -32,30 +32,6 @@ from tpu_joints.features.organized import estimate_normals_organized
 from tpu_joints.filters.filters import compact_indices, uniform_sample_mask
 
 
-def _even_spread(keep: jnp.ndarray, n_selected: jnp.ndarray,
-                 capacity: int) -> jnp.ndarray:
-    """Thin a boolean selection to ≤ capacity EVENLY along the raster order.
-
-    Plain compaction keeps the first ``capacity`` survivors — on an
-    organized frame that is the top of the image, which silently crops the
-    bottom of the scene whenever a large background surface (table, wall)
-    pushes the survivor count over capacity. Bresenham decimation keeps
-    exactly ``min(n, capacity)`` survivors evenly spaced instead: uniform
-    density loss, no spatial bias, and no over-thinning at marginal
-    overflows (a plain ⌈n/c⌉ stride would halve a 9000-survivor frame at
-    capacity 8192). No-op when n ≤ capacity. Mirrors
-    ``filters.compact_indices``.
-    """
-    ki = keep.astype(jnp.int32)
-    rank = jnp.cumsum(ki) - ki  # 0-based rank among survivors
-    n = jnp.maximum(n_selected, 1)
-    # float32 is exact for ranks ≤ 2^24 (frames are ≤ 640·480) and avoids
-    # rank*capacity int32 overflow
-    s = jnp.float32(capacity) / n.astype(jnp.float32)
-    r = rank.astype(jnp.float32)
-    return keep & (jnp.floor(r * s) > jnp.floor((r - 1.0) * s))
-
-
 def _tile_select(xyz_img, valid, block, crop_lo, crop_hi):
     """Crop + one-winner-per-tile selection on [H, W] planes.
 
@@ -186,7 +162,8 @@ def ingest_organized_blocks(
 
     n_selected = jnp.sum(got.astype(jnp.int32))
     if capacity is not None and capacity < Hb * Wb:
-        got = _even_spread(got, n_selected, capacity)
+        # compact_indices thins overflow UNIFORMLY (Bresenham decimation
+        # along the raster order - no spatial bias, no over-thinning)
         idx, keep = compact_indices(got, capacity)
         pix = pix[idx]
         got = keep
@@ -280,8 +257,7 @@ def ingest_organized_segmented(
 
     n_selected = jnp.sum(keep.astype(jnp.int32))
     capacity = cfg.scene_capacity
-    if capacity < T:
-        keep = _even_spread(keep, n_selected, capacity)
+    # compact_indices thins overflow uniformly along the raster order
     idx, ok = compact_indices(keep, capacity)
     xyz = jnp.where(ok[:, None], txyz[idx], SENTINEL)
     normals = jnp.where(ok[:, None], tnorm[idx], 0.0)
@@ -377,7 +353,7 @@ def ingest_organized(
     keep = uniform_sample_mask(full, leaf) & mask
     n_selected = jnp.sum(keep.astype(jnp.int32))
 
-    keep = _even_spread(keep, n_selected, capacity)
+    # compact_indices thins overflow uniformly along the raster order
     idx, got = compact_indices(keep, capacity)
     xyz = jnp.where(got[:, None], flat_xyz[idx], SENTINEL)
     normals = jnp.where(got[:, None], flat_n[idx], 0.0)

@@ -232,7 +232,15 @@ def detect_parts(
     ``cfg.refine_top`` (two-tier refinement) is a single-part detect
     optimization and is ignored here: every candidate gets the full
     refinement budget (per-part candidate fields are already small).
+    ``cfg.rank_scene_coverage`` is likewise not applied (parts rank by
+    full-model fitness); ``cfg.coverage_accept`` is an ACCEPTANCE gate and
+    silently skipping it would change what "accepted" means — it raises.
     """
+    if cfg.coverage_accept > 0.0:
+        raise ValueError(
+            "coverage_accept is not supported by detect_parts (no scene "
+            "coverage stage); use the single-part detect pipeline or set "
+            "coverage_accept=0")
     if not banks:
         raise ValueError("no part banks given")
     names, cat, part_models, part_models_mask = _concat_banks(banks)

@@ -279,10 +279,22 @@ def scene_coverage_multi(
     # allow_pallas=False: this NN's [C·S, Nm] shape differs from the ICP
     # refinement's — a second Mosaic k=1 instantiation alternating with it
     # risks the multi-program re-execution fault (docs/PERFORMANCE.md), and
-    # the XLA k=1 path (matmul + row-min, no top-k) is near-equal anyway
-    d, _ = knn(moved.reshape(C * S, 3), model_xyz, 1,
-               source_mask=model_mask, chunk=chunk, allow_pallas=False)
-    dist_sq = d[:, 0].reshape(C, S)
+    # the XLA k=1 path (matmul + row-min, no top-k) is near-equal anyway.
+    # Memory bound: the folded query materializes a [C·S, chunk] distance
+    # block per scan step — fine at bench shapes (16·2560 rows), but at
+    # large scene capacities it reaches GiBs; beyond ~64k rows stream one
+    # candidate at a time instead ([S, chunk] blocks, same numerics).
+    if C * S <= 65536:
+        d, _ = knn(moved.reshape(C * S, 3), model_xyz, 1,
+                   source_mask=model_mask, chunk=chunk, allow_pallas=False)
+        dist_sq = d[:, 0].reshape(C, S)
+    else:
+        def one(m):
+            dd, _ = knn(m, model_xyz, 1, source_mask=model_mask,
+                        chunk=chunk, allow_pallas=False)
+            return dd[:, 0]
+
+        dist_sq = jax.lax.map(one, moved)
     w = scene.mask[None, :].astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     clipped = jnp.minimum(dist_sq, jnp.float32(clip) ** 2)

@@ -93,7 +93,12 @@ class DetectionService:
 
     # error-code substrings treated as transient device/runtime blips worth
     # a bounded retry (tunnel resets, queue exhaustion, preempted programs);
-    # anything else is a real bug and propagates immediately
+    # anything else is a real bug and propagates immediately.
+    # INVALID_ARGUMENT is deliberately included: the remote attachment's
+    # transient faults surface under that code (measured; VERDICT round-2
+    # item 9). A genuine argument bug also matching it costs only the
+    # bounded max_retries × backoff before the 500 — acceptable against
+    # silently dropping recoverable frames.
     TRANSIENT_ERRORS = ("INVALID_ARGUMENT", "RESOURCE_EXHAUSTED",
                         "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED")
 
@@ -162,6 +167,22 @@ class DetectionService:
         while block < 16 and (H // (2 * block)) * (W // (2 * block)) > cap:
             block *= 2
         Hc, Wc = H - H % block, W - W % block
+        if not (self.cfg.segment_scene or self.cfg.remove_plane):
+            # sparse-frame EARLY-OUT on the host, before any device work:
+            # the organized ingest keeps at most one point per block² tile,
+            # so tiles-with-any-valid-pixel is an UPPER bound on the
+            # working set — a tiny tile count can never feed the detector
+            # and skipping the organized dispatch is always safe. The
+            # bound errs only the other way (a splatted point render fills
+            # tiles yet starves the stencil normals), which the post-run
+            # survivor check below catches authoritatively. (A small
+            # survivor count under segmentation is the crop chain doing
+            # its job — table/clutter removed — never a fallback.)
+            v = valid[:Hc, :Wc]
+            n_tiles = int(v.reshape(Hc // block, block,
+                                    Wc // block, block).any((1, 3)).sum())
+            if n_tiles < min(64, cap // 8) and n_tiles < valid.sum() // 2:
+                return self.detect_points(xyz_img[valid])
         img = jnp.asarray(np.nan_to_num(xyz_img[:Hc, :Wc]))
         vmask = jnp.asarray(valid[:Hc, :Wc])
         # ONE fused device program: ingest (+ the reference's lattice crop
@@ -177,15 +198,15 @@ class DetectionService:
 
         res, latency_ms = self._guarded(run)
         if not (self.cfg.segment_scene or self.cfg.remove_plane):
-            # (a small survivor count under segmentation is the crop chain
-            # doing its job — table/clutter removed — never a fallback)
+            # authoritative sparse-frame fallback: stencil normals reject
+            # pixels on depth edges or with < 5-point windows, so a frame
+            # that passed the tile-count early-out can still starve (e.g.
+            # a splatted point render, not a real sensor surface). Reading
+            # the survivor count costs nothing extra — _payload fetches
+            # the metrics to host anyway.
             n_organized = int(np.asarray(res.metrics["scene_points"]))
             if (n_organized < min(64, cap // 8)
                     and n_organized < valid.sum() // 2):
-                # the frame is too sparse for stencil normals (e.g. a
-                # splatted point render, not a real sensor surface) — fall
-                # back to the unordered path rather than return a detection
-                # off a starved working set
                 return self.detect_points(xyz_img[valid])
         return self._payload(res, latency_ms, self.cfg)
 
