@@ -181,6 +181,33 @@ def test_server_depth_uses_organized_ingest(server_url, service, monkeypatch):
     assert out["metrics"]["scene_points"] > 50
 
 
+def test_server_depth_sparse_early_out(service, monkeypatch):
+    """A depth frame whose valid pixels occupy only a handful of tiles is
+    routed to the unordered path on the HOST — the organized dispatch
+    (and its compile) is never paid. The tile count upper-bounds the
+    organized working set, so the early-out can never starve a frame the
+    organized path could have served."""
+    import sys
+
+    import tpu_joints.pipelines.detect  # noqa: F401 (submodule attr shadowed)
+    detect_mod = sys.modules["tpu_joints.pipelines.detect"]
+
+    calls = []
+    real = detect_mod.detect_organized
+
+    def counting(*a, **k):
+        calls.append(k)
+        return real(*a, **k)
+
+    monkeypatch.setattr(detect_mod, "detect_organized", counting)
+
+    depth = np.zeros((120, 160), np.float32)   # 0 = invalid for depth_to_cloud
+    depth[60:68, 80:88] = 1.0                  # one dense 8x8 patch: 4 tiles
+    out = service.detect_depth(depth, fov_deg=57.0)
+    assert calls == [], "sparse frame must take the host early-out"
+    assert "pose" in out and "fitness" in out   # structured payload, no crash
+
+
 def test_server_backpressure_503(server_url, service):
     """Requests beyond the pending bound get an immediate 503, not an
     unbounded queue on the chip (round-1 weakness)."""
