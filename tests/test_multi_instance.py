@@ -86,6 +86,43 @@ def test_two_instances_both_good(rng):
     assert covered == {"a", "b"}, f"instances cover only {covered}"
 
 
+def test_two_instances_two_tier(rng):
+    """Two-tier refinement × multi-instance: only tier-2 survivors are
+    acceptance-grade, so ``refine_top`` must be ≥ the number of physical
+    instances for all of them to be reported (the ``good_instances``
+    docstring contract). refine_top=2 keeps both; refine_top=1 reports at
+    most the single tier-2 winner — never a tier-1 (ranking-grade) pose."""
+    import dataclasses
+
+    model_xyz, _ = knobby_joint_points(rng, n_chord=900, n_stub=500,
+                                       n_knob=150, jitter=0.0)
+    T_a = _pose(7, [-0.35, 0.0, 0.0])
+    T_b = _pose(11, [0.35, 0.05, -0.05])
+    scene_xyz = np.concatenate([
+        model_xyz @ T_a[:3, :3].T + T_a[:3, 3],
+        model_xyz @ T_b[:3, :3].T + T_b[:3, 3],
+    ])
+    bank = build_bank(
+        model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
+        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
+        level=0, resolution=96, key_capacity=192,
+    )
+    scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
+
+    cfg2 = dataclasses.replace(CFG, refine_top=2, final_icp_iterations=6)
+    res = detect(scene, bank, cfg2)
+    assert bool(res.accepted)
+    inst = good_instances(res, cfg2, min_separation=0.2)
+    assert len(inst) == 2, f"expected 2 instances, got {len(inst)}: {inst}"
+    t_list = sorted(float(k["pose"][0, 3]) for k in inst)
+    np.testing.assert_allclose(t_list, [-0.35, 0.35], atol=0.01)
+
+    cfg1 = dataclasses.replace(CFG, refine_top=1, final_icp_iterations=6)
+    res1 = detect(scene, bank, cfg1)
+    inst1 = good_instances(res1, cfg1, min_separation=0.2)
+    assert len(inst1) <= 1, f"tier-1 poses must not be reported: {inst1}"
+
+
 def test_two_instances_with_hv(rng):
     """GO-HV over the multi-instance candidate field (the reference's exact
     regime, SHOT_hypothesis.cpp:632-651): the jointly-optimal subset keeps
