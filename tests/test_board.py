@@ -170,6 +170,15 @@ def test_board_repeatability_across_partial_views(rng):
         f"(median {np.median(deltas):.1f}°)")
     assert float(np.median(deltas)) < 5.0, (
         f"median frame delta {np.median(deltas):.1f}° too high")
+    # sign-vote power gate: a broken x-axis disambiguation flips ~half of
+    # the frames 180°, while the genuinely-ambiguous smooth-cylinder
+    # minority measures ~8% — so a flip fraction beyond 20% is a bug, not
+    # key-selection noise (this is what the pre-compaction 0.9 frac gate
+    # used to catch)
+    flip_frac = float(np.mean(deltas > 90.0))
+    assert flip_frac <= 0.20, (
+        f"{flip_frac:.0%} of {deltas.size} frames flipped >90° — "
+        f"BOARD sign vote regression")
 
 
 def test_fpfh_board_hough_end_to_end(rng):

@@ -177,3 +177,13 @@ def test_halo_radius_neighbors_matches_dense(mesh1d):
         np.sort(np.where(np.asarray(valid), np.asarray(dsq), 1e9), axis=1),
         np.sort(np.where(np.asarray(v_ref), np.asarray(d_ref), 1e9), axis=1),
         rtol=1e-5, atol=1e-7)
+
+    # halo capacity beyond the shard size must clamp (not trace-fail):
+    # the default halo=256 exceeds n_local=128 here — small shards simply
+    # exchange everything, the dense-oracle limit
+    idx2, valid2, _ = halo_radius_neighbors(
+        xyzj, maskj, radius, k_max, mesh1d, axis="model", halo=256)
+    for q in range(0, N, 111):
+        got = set(np.asarray(idx2)[q][np.asarray(valid2)[q]].tolist())
+        want = set(np.asarray(i_ref)[q][np.asarray(v_ref)[q]].tolist())
+        assert got == want, (q, got ^ want)

@@ -74,3 +74,16 @@ def test_compact(rng):
     i, v = compact_indices(jnp.asarray(sel), 2)
     assert np.asarray(i)[:2].tolist() == [3, 20]
     assert np.asarray(v).all()
+
+
+def test_compact_indices_pads_to_capacity():
+    """Static-shape contract: the output really is [capacity] lanes even
+    when the input has FEWER lanes than capacity — a bare slice would
+    clamp, and a Cloud built from it would break every consumer keyed on
+    cfg.scene_capacity (stack_clouds, pre-compiled executables)."""
+    sel = jnp.asarray(np.array([True, False, True, True], bool))
+    idx, ok = compact_indices(sel, 16)
+    assert idx.shape == (16,) and ok.shape == (16,)
+    assert int(ok.sum()) == 3
+    assert np.asarray(idx)[np.asarray(ok)].tolist() == [0, 2, 3]
+    assert not np.asarray(ok)[3:].any()   # padding lanes are invalid

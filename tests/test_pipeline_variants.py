@@ -111,3 +111,48 @@ def test_gc_grouping_end_to_end(rng):
     scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
     res = detect(scene, bank, cfg)
     _check(res, T_gt)
+
+
+def test_no_model_bank_disables_two_tier(rng):
+    """A legacy bank without the full-CAD model field must not engage
+    two-tier refinement: tier-1 ranking would run on the all-masked
+    placeholder (meaningless) and the stride-reduced view ICP would ship
+    coarser poses with no tier-2 polish to recover them. The host guard
+    (`detect._tier_cfg`) zeroes refine_top, so every candidate stays
+    acceptance-grade and the winner is reported by good_instances."""
+    import dataclasses
+
+    from tpu_joints.pipelines import good_instances
+    from tpu_joints.pipelines.detect import _tier_cfg
+
+    cfg = DetectionConfig(
+        descriptor="shot", descr_rad=0.12, model_ss=0.03, scene_ss=0.03,
+        normal_k=12, match_mode="nn", match_threshold=0.25,
+        algorithm="hough", cg_size=0.05, cg_thresh=3.0,
+        icp_iterations=20, max_candidates=4, accept_fitness=0.001,
+        scene_capacity=4096, scene_key_capacity=256, k_max=96,
+        refine_top=2, final_icp_iterations=5,
+        # coverage ranking needs a model-cloud NN target; a no-model bank
+        # has none (rank by view fitness like round-1 banks did)
+        rank_scene_coverage=False, select_by_model_fitness=False,
+    )
+    model_xyz, scene_xyz, T_gt = _problem(rng)
+    bank = build_bank(
+        model_xyz, descriptor="shot", descr_radius=cfg.descr_rad,
+        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
+        level=0, resolution=96, key_capacity=128,
+    )
+    # simulate a pre-model-field bank (load_bank back-compat placeholder)
+    bank = dataclasses.replace(
+        bank, model_mask=jnp.zeros_like(bank.model_mask))
+
+    assert _tier_cfg(bank, cfg).refine_top == 0
+    assert _tier_cfg(bank, dataclasses.replace(cfg, refine_top=0)) is not None
+
+    scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
+    res = detect(scene, bank, cfg)
+    assert bool(res.accepted), f"fitness={float(res.fitness)}"
+    # every candidate is acceptance-grade (single-tier shape ran)
+    assert np.asarray(res.metrics["cand_tier2"]).all()
+    inst = good_instances(res, dataclasses.replace(cfg, refine_top=0))
+    assert len(inst) >= 1, "accepted winner missing from the GOOD list"

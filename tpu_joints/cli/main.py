@@ -253,11 +253,9 @@ def cmd_detect(args) -> None:
     scene, part, res = _detect_one(args.scene, banks, cfg, args)
     _print_result(os.path.basename(args.scene), res, part)
     if args.json:
-        # metrics hold traced scalars plus a few per-candidate vectors
-        # (cand_coverage / cand_unexplained) — emit vectors as lists
-        m = {k: (float(a) if a.ndim == 0 else a.tolist())
-             for k, a in ((k, np.asarray(v))
-                          for k, v in res.metrics.items())}
+        from tpu_joints.pipelines.detect import metrics_to_json
+
+        m = metrics_to_json(res.metrics)
         print(json.dumps({"pose": np.asarray(res.full_pose).tolist(),
                           "part": part,
                           "fitness": float(res.fitness),

@@ -247,6 +247,10 @@ def halo_radius_neighbors(
     n_dev = mesh.shape[axis]
     N = xyz.shape[0]
     n_local = N // n_dev
+    # a band can never hold more than the whole shard: top_k(k > lanes)
+    # is a trace-time error, so clamp (small shards simply exchange
+    # everything — the dense-oracle limit)
+    halo = min(halo, n_local)
     r = jnp.float32(radius)
 
     def shard_fn(x, m):

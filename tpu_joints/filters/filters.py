@@ -135,8 +135,17 @@ def compact_indices(mask: jnp.ndarray, capacity: int) -> Tuple[jnp.ndarray, jnp.
     r = rank.astype(jnp.float32)
     mask = mask & (jnp.floor(r * s) > jnp.floor((r - 1.0) * s))
     order = jnp.argsort(jnp.logical_not(mask), stable=True)
-    idx = order[:capacity]
-    return idx, mask[idx]
+    if order.shape[0] >= capacity:
+        idx = order[:capacity]
+        return idx, mask[idx]
+    # fewer lanes than capacity: pad with invalid index-0 lanes so the
+    # output shape really is static [capacity] (a bare slice would clamp,
+    # and a Cloud built from it would break the capacity contract —
+    # e.g. stack_clouds over mixed front ends, or executables keyed on
+    # cfg.scene_capacity)
+    pad = capacity - order.shape[0]
+    idx = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+    return idx, jnp.concatenate([mask[order], jnp.zeros((pad,), bool)])
 
 
 def compact_cloud(cloud: Cloud, select: jnp.ndarray, capacity: int) -> Tuple[Cloud, jnp.ndarray]:

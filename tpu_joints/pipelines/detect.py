@@ -75,6 +75,23 @@ class DetectionResult(NamedTuple):
     metrics: dict                # per-stage counts (traced scalars)
 
 
+def metrics_to_json(metrics: dict) -> dict:
+    """DetectionResult.metrics → JSON-safe dict (one shared conversion for
+    the CLI ``--json`` line and the server payload).
+
+    Scalars become floats, small per-candidate vectors (cand_coverage /
+    cand_unexplained / cand_tier2, …) become lists. The [C, 4, 4]
+    candidate pose table stays out: consumers get the GOOD subset through
+    ``good_instances`` / the server's ``instances`` field, not a 256-float
+    dump per response line.
+    """
+    import numpy as np
+
+    return {k: (float(a) if a.ndim == 0 else np.asarray(a).tolist())
+            for k, a in ((k, np.asarray(v)) for k, v in metrics.items())
+            if k != "cand_full_poses"}
+
+
 def prepare_scene(
     scene: Cloud, cfg: DetectionConfig,
     viewpoint: Optional[jnp.ndarray] = None,
@@ -312,6 +329,8 @@ def detect(
     rather than Pallas-everywhere. Set TPU_JOINTS_DISABLE_PALLAS=1 to force
     pure-XLA kernels.
     """
+    cfg = _tier_cfg(bank, cfg)   # no-model banks: two-tier off (see helper)
+
     def run():
         feats = _prepare_jit(scene, cfg, viewpoint, scene_normals,
                              scene_curvature)
@@ -707,8 +726,11 @@ def detect_with_features(
     metrics["has_model"] = has_model
     # which candidates carry tier-2 (acceptance-grade) values: all of them
     # single-tier; only the refine_top survivors under two-tier (the rest
-    # keep tier-1 stride-reduced poses/fitness/coverage — ranking-grade)
-    metrics["cand_tier2"] = (in_top if two_tier
+    # keep tier-1 stride-reduced poses/fitness/coverage — ranking-grade).
+    # No-model banks mirror the winner selection above: their tier-1
+    # ranking ran on the all-masked placeholder, so in_top is meaningless
+    # and must not strike candidates from the GOOD list.
+    metrics["cand_tier2"] = ((in_top | ~has_model) if two_tier
                              else jnp.ones((C,), bool))
     return DetectionResult(
         full_pose=full_pose,
@@ -741,6 +763,26 @@ def _strip_crop(cfg: DetectionConfig) -> DetectionConfig:
     if cfg.segment_scene or cfg.remove_plane:
         return dataclasses.replace(cfg, segment_scene=False,
                                    remove_plane=False)
+    return cfg
+
+
+def _tier_cfg(bank: ModelBank, cfg: DetectionConfig) -> DetectionConfig:
+    """Disable two-tier refinement for banks without a full-CAD model.
+
+    Two-tier strides the view-ICP rows and relies on the tier-2 full-CAD
+    polish to set the final accuracy; a legacy bank's all-masked model
+    placeholder makes that polish a no-op, so engaging the stride would
+    silently ship coarser poses with nothing downstream to recover them
+    (and its tier-1 ranking would be meaningless). Host-side: the bank is
+    concrete at every public entry, while inside the traced pipeline the
+    model mask is a tracer and the stride is a static Python decision.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    if cfg.refine_top > 0 and not np.any(np.asarray(bank.model_mask)):
+        return dataclasses.replace(cfg, refine_top=0)
     return cfg
 
 
@@ -810,6 +852,7 @@ def detect_organized(
 
     Returns (DetectionResult, n_selected).
     """
+    cfg = _tier_cfg(bank, cfg)   # no-model banks: two-tier off (see helper)
     if fused:
         return _organized_detect_fused_jit(
             xyz_img, valid, bank, cfg, block, half_window, crop_lo, crop_hi,

@@ -261,15 +261,6 @@ class DetectionService:
                     time.sleep(self.retry_backoff_s * (2 ** attempt))
         raise last
 
-    def _detect_with_retry(self, scene, normals, curvature, cfg=None):
-        from tpu_joints.pipelines.detect import detect
-
-        # sync=False: the retry policy lives in _run_with_retry (detect's
-        # own sync=True single-shot retry would nest with this one)
-        return self._run_with_retry(lambda: detect(
-            scene, self.bank, cfg or self.cfg,
-            scene_normals=normals, scene_curvature=curvature))
-
     def _guarded(self, fn):
         """Backpressure slot + single-writer lock + request timing around a
         retry-wrapped detection thunk. Returns (result, latency_ms)."""
@@ -291,6 +282,8 @@ class DetectionService:
         from tpu_joints.pipelines.detect import detect
 
         eff = cfg or self.cfg
+        # sync=False: the retry policy lives in _guarded/_run_with_retry
+        # (detect's own sync=True single-shot retry would nest with it)
         res, latency_ms = self._guarded(lambda: detect(
             scene, self.bank, eff,
             scene_normals=normals, scene_curvature=curvature))
@@ -299,6 +292,8 @@ class DetectionService:
     def _payload(self, res, latency_ms, cfg) -> dict:
         from tpu_joints.core.transforms import transform_points
         from tpu_joints.pipelines import good_instances
+        from tpu_joints.pipelines.detect import \
+            metrics_to_json as _metrics_to_json
 
         view = int(res.view_idx)
         aligned = np.asarray(
@@ -328,14 +323,7 @@ class DetectionService:
                 "extents": np.asarray(res.obb.extents).tolist(),
                 "euler_deg": np.degrees(np.asarray(res.obb.euler)).tolist(),
             },
-            # metrics hold traced scalars plus a few per-candidate vectors
-            # (cand_coverage / cand_unexplained) — emit vectors as lists.
-            # The [C,4,4] candidate pose table stays out of the payload:
-            # the "instances" field above already carries the GOOD subset
-            "metrics": {k: (float(a) if a.ndim == 0 else a.tolist())
-                        for k, a in ((k, np.asarray(v))
-                                     for k, v in res.metrics.items())
-                        if k != "cand_full_poses"},
+            "metrics": _metrics_to_json(res.metrics),
             "latency_ms": round(latency_ms, 3),
         }
 
