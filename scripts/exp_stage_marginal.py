@@ -83,7 +83,7 @@ def main():
 
     def thru_prepare(j):
         f = feats_of(j)
-        return f.desc.sum() + f.keys.xyz.sum() + f.frames.sum()
+        return f.desc.sum() + f.keys.xyz.sum() + f.rf.sum()
 
     def thru_pose_only(j):
         res = detect_with_features(feats_of(j), bank, _strip_crop(det_cfg))

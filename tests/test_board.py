@@ -228,3 +228,59 @@ def test_fpfh_board_hough_end_to_end(rng):
     terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
     assert ang < 1.5, f"rotation error {ang}°"
     assert terr < 0.008, f"translation error {terr*1000:.1f} mm"
+
+
+def test_prepare_scene_shared_support_gather_is_identical():
+    """When rf_rad == descr_rad and rf_k_max == k_max, prepare_scene feeds
+    SHOT and BOARD from ONE radius gather (the serving fast path). The
+    shared branch must be pure plumbing: descriptors, frames, and validity
+    identical to the unshared pipeline at the same radii/widths."""
+    import jax.numpy as jnp
+
+    from tpu_joints.config import DetectionConfig
+    from tpu_joints.core.cloud import make_cloud
+    from tpu_joints.pipelines.detect import prepare_scene
+
+    from util import joint_points
+
+    rng = np.random.default_rng(5)
+    pts, _ = joint_points(rng, n_chord=900, n_stub=500)
+    scene = make_cloud(pts.astype(np.float32), capacity=2048)
+    from tpu_joints.features.lrf import board_lrf
+    from tpu_joints.features.normals import estimate_normals
+    from tpu_joints.features.shot import compute_shot
+    from tpu_joints.filters import compact_cloud, uniform_sample_mask
+    from tpu_joints.neighbors import radius_neighbors
+
+    cfg = DetectionConfig(
+        descriptor="shot", descr_rad=0.12, rf_frames="board", rf_rad=0.12,
+        k_max=64, rf_k_max=64, scene_ss=0.05, scene_key_capacity=128,
+        normal_k=12, segment_scene=False, remove_plane=False)
+
+    f_shared = prepare_scene(scene, cfg)
+
+    # hand-composed unshared pipeline at the SAME radii/widths: what
+    # prepare_scene does without the share branch — its own gather inside
+    # compute_shot plus a separate BOARD gather. (Truncation width itself
+    # is NOT varied: on smooth cylinder bodies BOARD's in-plane axis is
+    # quasi-degenerate and legitimately sensitive to the support set, so
+    # same-width equality is the only meaningful plumbing contract.)
+    normals, _ = estimate_normals(scene, k=cfg.normal_k,
+                                  viewpoint=jnp.zeros(3), allow_pallas=False)
+    keep = uniform_sample_mask(scene, cfg.scene_ss)
+    keys, kidx = compact_cloud(scene, keep, cfg.scene_key_capacity)
+    desc, _, valid = compute_shot(keys, scene, normals,
+                                  radius=cfg.descr_rad, k_max=cfg.k_max)
+    nidx, nwithin, _ = radius_neighbors(keys.xyz, scene.xyz, cfg.rf_rad,
+                                        cfg.rf_k_max, source_mask=scene.mask)
+    nvalid = nwithin & keys.mask[:, None]
+    rf, rf_ok = board_lrf(keys.xyz, normals[kidx], scene.xyz[nidx],
+                          normals[nidx], nvalid, cfg.rf_rad)
+
+    np.testing.assert_array_equal(np.asarray(f_shared.desc),
+                                  np.asarray(desc))
+    np.testing.assert_array_equal(np.asarray(f_shared.rf), np.asarray(rf))
+    np.testing.assert_array_equal(np.asarray(f_shared.rf_ok),
+                                  np.asarray(rf_ok))
+    np.testing.assert_array_equal(np.asarray(f_shared.desc_valid),
+                                  np.asarray(valid))

@@ -315,3 +315,77 @@ def test_detect_organized_fused_matches_split(rng):
                                    np.asarray(r_fused.full_pose),
                                    rtol=0, atol=5e-4)
         assert int(r_split.view_idx) == int(r_fused.view_idx)
+
+
+def test_detect_organized_batch_matches_per_frame(rng):
+    """The one-dispatch batched entry (``detect_organized_batch`` — vmap of
+    the fused chain, the serving steady-state formulation) must reproduce
+    the per-frame fused results leaf for leaf."""
+    from tpu_joints.modelbank import build_bank
+    from tpu_joints.pipelines.detect import (
+        detect_organized, detect_organized_batch)
+
+    # two frames: the standard pose and a second, clearly different one
+    xyz0, valid0, _ = _raycast_frame(segment_table=False)
+    from tpu_joints.serve.depth import raycast_cylinders
+
+    a30 = np.radians(30.0)
+    cylinders = [
+        (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
+        (np.array([0.0, 0.0, 0.23]),
+         np.array([np.sin(a30), 0.0, np.cos(a30)]), 0.05, 0.15),
+    ]
+    ay, ax = np.radians(-15.0), np.radians(20.0)
+    Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                   [-np.sin(ay), 0, np.cos(ay)]], np.float32)
+    Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)],
+                   [0, np.sin(ax), np.cos(ax)]], np.float32)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[:3, :3] = Rx @ Ry
+    T1[:3, 3] = np.array([-0.03, 0.02, 0.95], np.float32)
+    xyz1 = raycast_cylinders(cylinders, T1, width=320, height=240)
+    valid1 = np.isfinite(xyz1).all(axis=-1)
+    xyz1 = np.nan_to_num(xyz1)
+
+    cfg = _seg_cfg(
+        descr_rad=0.06, model_ss=0.02, scene_ss=0.02, rf_frames="board",
+        rf_rad=0.06, cg_size=0.05, icp_iterations=4, max_candidates=4,
+        max_instances_per_view=1, k_max=64, scene_key_capacity=128,
+        final_icp_iterations=2, segment_scene=False, remove_plane=False)
+    rngm = np.random.default_rng(7)
+    theta = rngm.uniform(0, 2 * np.pi, 1500)
+    h = rngm.uniform(-0.3, 0.3, 1500)
+    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
+                     1).astype(np.float32)
+    bank = build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
+                      rf_radius=cfg.rf_rad, frames="board",
+                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
+                      k_max=cfg.k_max, level=0, resolution=48,
+                      key_capacity=32, icp_capacity=512)
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+
+    imgs = jnp.stack([jnp.asarray(xyz0), jnp.asarray(xyz1)])
+    valids = jnp.stack([jnp.asarray(valid0), jnp.asarray(valid1)])
+    r_b, n_b = detect_organized_batch(
+        imgs, valids, bank, cfg, block=2, half_window=3,
+        crop_lo=crop_lo, crop_hi=crop_hi)
+    assert r_b.full_pose.shape == (2, 4, 4)
+
+    for i, (img, vmask) in enumerate(((xyz0, valid0), (xyz1, valid1))):
+        r_i, n_i = detect_organized(
+            jnp.asarray(img), jnp.asarray(vmask), bank, cfg, block=2,
+            half_window=3, crop_lo=crop_lo, crop_hi=crop_hi, fused=True)
+        assert int(n_b[i]) == int(n_i)
+        assert int(r_b.view_idx[i]) == int(r_i.view_idx)
+        assert bool(r_b.accepted[i]) == bool(r_i.accepted)
+        # vmap reassociates fp reductions and ICP iterates on them, so the
+        # contract is pose equivalence, not bit equality
+        A = np.asarray(r_b.full_pose[i])
+        B = np.asarray(r_i.full_pose)
+        Rd = A[:3, :3] @ B[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1)))
+        assert ang < 0.2, f"frame {i}: batched-vs-single rotation {ang}°"
+        assert np.linalg.norm(A[:3, 3] - B[:3, 3]) < 2e-3
+        np.testing.assert_allclose(float(r_b.fitness[i]),
+                                   float(r_i.fitness), rtol=2e-2, atol=1e-8)

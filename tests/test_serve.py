@@ -319,3 +319,96 @@ def test_server_segmented_depth_uses_lattice_crop(service, monkeypatch):
     # cover that split); the server must pass the crop flags through intact
     assert calls[0].segment_scene and calls[0].remove_plane
     assert out["metrics"]["scene_points"] > 30
+
+
+def test_server_micro_batching_coalesces_frames(service):
+    """Concurrent depth requests through a batch_max>1 service coalesce
+    into batched dispatches (serve.batching leader–follower), stay on the
+    organized path (no sparse fallback), and every frame's response
+    matches the unbatched service's response.
+
+    Frames are dense analytic raycasts (a splatted point render starves
+    the stencil normals and would route BOTH services through the
+    unorganized fallback, proving nothing about batching)."""
+    import concurrent.futures
+
+    from tpu_joints.serve.depth import raycast_cylinders
+
+    a30 = np.radians(30.0)
+    cylinders = [
+        (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
+        (np.array([0.0, 0.0, 0.23]),
+         np.array([np.sin(a30), 0.0, np.cos(a30)]), 0.05, 0.15),
+    ]
+    frames = []
+    for ay_deg in (35.0, -15.0):
+        ay = np.radians(ay_deg)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                              [-np.sin(ay), 0, np.cos(ay)]], np.float32)
+        T[:3, 3] = [0.02, -0.03, 1.0]
+        xyz_img = raycast_cylinders(cylinders, T, width=160, height=120)
+        frames.append(np.nan_to_num(xyz_img[..., 2]))  # depth image
+
+    svc_b = DetectionService(service.bank, service.cfg, batch_max=4,
+                             batch_window_ms=30.0)
+    reqs = [frames[i % 2] for i in range(4)]
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(
+            lambda d: svc_b.detect_depth(d, near=0.05, far=5.0), reqs))
+
+    assert svc_b.n_requests == 4
+    assert svc_b.n_batched_frames == 4
+    # the 30 ms window must have coalesced at least once (fewer dispatches
+    # than frames); exact grouping depends on thread scheduling
+    assert svc_b.n_batches < 4, f"{svc_b.n_batches} dispatches for 4 frames"
+
+    # responses must agree with the unbatched path frame for frame, and
+    # both must have stayed organized (the fallback's working set would
+    # show the full scene_capacity here)
+    for i, out in enumerate(outs):
+        ref = service.detect_depth(reqs[i], near=0.05, far=5.0)
+        assert out["metrics"]["scene_points"] < service.cfg.scene_capacity
+        assert out["metrics"]["scene_points"] == ref["metrics"]["scene_points"]
+        assert out["accepted"] == ref["accepted"]
+        assert out["view_idx"] == ref["view_idx"]
+        a, b = np.asarray(out["pose"]), np.asarray(ref["pose"])
+        Rd = a[:3, :3] @ b[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1)))
+        assert ang < 0.5 and np.linalg.norm(a[:3, 3] - b[:3, 3]) < 3e-3
+
+
+def test_frame_batcher_error_delivery_and_pow2_padding():
+    """Batcher unit contract: errors reach every waiter; partial batches
+    pad to the next power of two; results map back to their frames."""
+    import concurrent.futures
+
+    from tpu_joints.serve.batching import FrameBatcher, _pow2_bucket
+
+    assert [_pow2_bucket(n, 8) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 8]
+
+    calls = []
+
+    def ok_batch(imgs, vms):
+        calls.append(imgs.shape[0])
+        return {"mean": imgs.mean(axis=(1, 2))}
+
+    fb = FrameBatcher(ok_batch, max_batch=8, window_ms=20.0)
+    frames = [np.full((4, 4), float(i), np.float32) for i in range(3)]
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        outs = list(ex.map(lambda f: fb.submit(f, f > -1), frames))
+    for i, o in enumerate(outs):
+        assert float(o["mean"]) == float(i)
+    assert all(c in (1, 2, 4, 8) for c in calls)   # pow2 padding
+    assert fb.n_batched_frames == 3
+
+    def boom(imgs, vms):
+        raise RuntimeError("device fell over")
+
+    fb2 = FrameBatcher(boom, max_batch=4, window_ms=5.0)
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(fb2.submit, frames[0], frames[0] > -1)
+                for _ in range(2)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="fell over"):
+                f.result()

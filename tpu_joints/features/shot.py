@@ -46,7 +46,7 @@ scheme (they are compared in descriptor space).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -274,6 +274,7 @@ def compute_shot(
     radius: float,
     k_max: int = 128,
     scheme: str = "smooth",
+    neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full SHOT pipeline for a keypoint set over a search surface.
 
@@ -283,13 +284,22 @@ def compute_shot(
     histogram. ``scheme`` selects the interpolation (module docstring);
     bank and scene descriptors must be built with the same scheme.
 
+    ``neighbors`` optionally carries a precomputed ``(idx, within)`` support
+    gather at the SAME radius/k_max (``radius_neighbors`` contract): when
+    the pipeline's voting frames use the descriptor's radius, one gather
+    feeds both stages (a second k=256 gather was the single most expensive
+    op in the serving prepare stage — docs/PERFORMANCE.md).
+
     Returns:
       (descriptors float32[M, 352] L2-normalized, rf float32[M, 3, 3],
        valid bool[M]).
     """
-    idx, within, _ = radius_neighbors(
-        keypoints.xyz, surface.xyz, radius, k_max, source_mask=surface.mask
-    )
+    if neighbors is None:
+        idx, within, _ = radius_neighbors(
+            keypoints.xyz, surface.xyz, radius, k_max,
+            source_mask=surface.mask)
+    else:
+        idx, within = neighbors
     nbr_valid = within & keypoints.mask[:, None]
     nbr_xyz = surface.xyz[idx]
     nbr_normals = surface_normals[idx]

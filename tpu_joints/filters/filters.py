@@ -134,18 +134,24 @@ def compact_indices(mask: jnp.ndarray, capacity: int) -> Tuple[jnp.ndarray, jnp.
     s = jnp.float32(capacity) / jnp.maximum(n, 1).astype(jnp.float32)
     r = rank.astype(jnp.float32)
     mask = mask & (jnp.floor(r * s) > jnp.floor((r - 1.0) * s))
-    order = jnp.argsort(jnp.logical_not(mask), stable=True)
-    if order.shape[0] >= capacity:
-        idx = order[:capacity]
-        return idx, mask[idx]
-    # fewer lanes than capacity: pad with invalid index-0 lanes so the
-    # output shape really is static [capacity] (a bare slice would clamp,
-    # and a Cloud built from it would break the capacity contract —
-    # e.g. stack_clouds over mixed front ends, or executables keyed on
-    # cfg.scene_capacity)
-    pad = capacity - order.shape[0]
-    idx = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
-    return idx, jnp.concatenate([mask[order], jnp.zeros((pad,), bool)])
+    # Scatter-based stable compaction: after the decimation above, kept
+    # lanes have unique post-thinning ranks in [0, capacity), so writing
+    # each kept lane index at its rank is an exact order-preserving
+    # partition — no argsort (a [N] sort is ~1 ms on TPU vs µs for
+    # cumsum+scatter; this runs in every frame's keypoint selection).
+    # Dropped lanes all target the dump slot `capacity`, which is sliced
+    # off (duplicate writes there are fine — the slot is discarded).
+    N = mask.shape[0]
+    lane = jnp.arange(N, dtype=jnp.int32)
+    rank2 = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    target = jnp.where(mask, rank2, jnp.int32(capacity))
+    idx = jnp.zeros((capacity + 1,), jnp.int32).at[target].set(lane)[:capacity]
+    n_kept = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    # unfilled tail slots stay index-0 with valid=False — the same
+    # "invalid index-0 lanes" padding contract as before (static
+    # [capacity] shape regardless of N vs capacity)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < n_kept
+    return idx, valid
 
 
 def compact_cloud(cloud: Cloud, select: jnp.ndarray, capacity: int) -> Tuple[Cloud, jnp.ndarray]:

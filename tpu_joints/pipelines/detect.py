@@ -175,9 +175,23 @@ def prepare_scene(
         keep = uniform_sample_mask(scene, cfg.scene_ss)
     keys, kidx = compact_cloud(scene, keep, cfg.scene_key_capacity)
 
+    # one support gather can feed BOTH the descriptor and the voting
+    # frames when they share radius and width — the duplicate k=256
+    # gather was the single most expensive op in the serving prepare
+    # stage (docs/PERFORMANCE.md marginal breakdown)
+    share_support = (cfg.descriptor == "shot" and cfg.rf_frames == "board"
+                     and cfg.rf_rad == cfg.descr_rad
+                     and cfg.rf_k_max == cfg.k_max)
+    shared = None
+    if share_support:
+        sidx, swithin, _ = radius_neighbors(
+            keys.xyz, scene.xyz, cfg.descr_rad, cfg.k_max,
+            source_mask=scene.mask)
+        shared = (sidx, swithin)
+
     if cfg.descriptor == "shot":
         desc, rf, valid = compute_shot(keys, scene, normals, radius=cfg.descr_rad,
-                                       k_max=cfg.k_max)
+                                       k_max=cfg.k_max, neighbors=shared)
         rf_ok = valid
         need_rf = cfg.rf_frames != "shot"
     elif cfg.descriptor == "fpfh":
@@ -191,9 +205,12 @@ def prepare_scene(
     if need_rf:
         # Hough voting frames, computed at rf_rad on the raw scene (must use
         # the same radius as the bank side or votes scatter across bins).
-        nidx, nwithin, _ = radius_neighbors(
-            keys.xyz, scene.xyz, cfg.rf_rad, cfg.rf_k_max, source_mask=scene.mask
-        )
+        if shared is not None:
+            nidx, nwithin = shared
+        else:
+            nidx, nwithin, _ = radius_neighbors(
+                keys.xyz, scene.xyz, cfg.rf_rad, cfg.rf_k_max,
+                source_mask=scene.mask)
         nvalid = nwithin & keys.mask[:, None]
         if cfg.rf_frames == "board":
             # the reference's Hough frames (BOARD, SHOT.cpp:441-453)
@@ -860,3 +877,50 @@ def detect_organized(
     feats, n_sel = _organized_features_jit(
         xyz_img, valid, cfg, block, half_window, crop_lo, crop_hi, viewpoint)
     return _detect_features_jit(feats, bank, _strip_crop(cfg)), n_sel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "half_window"))
+def _organized_detect_batch_jit(
+    xyz_imgs, valids, bank, cfg, block, half_window, crop_lo, crop_hi,
+    viewpoint):
+    def one(img, vmask):
+        return _organized_detect_fused_jit.__wrapped__(
+            img, vmask, bank, cfg, block, half_window, crop_lo, crop_hi,
+            viewpoint)
+
+    return jax.vmap(one)(xyz_imgs, valids)
+
+
+def detect_organized_batch(
+    xyz_imgs,
+    valids,
+    bank: ModelBank,
+    cfg: DetectionConfig = DetectionConfig(),
+    block: int = 4,
+    half_window: int = 5,
+    crop_lo=None,
+    crop_hi=None,
+    viewpoint: Optional[jnp.ndarray] = None,
+):
+    """Batched raw-sensor entry: ``[B, H, W, 3]`` frames → B poses in ONE
+    dispatch — the steady-state serving formulation.
+
+    The reference's server processes one frame per callback
+    (``SHOT.cpp:592-602``); on TPU, dispatch latency — not device compute —
+    bounds a one-frame-at-a-time stream (measured: 16.9 ms compute vs
+    ~30 ms dispatch+sync under a remote attachment,
+    ``docs/PERFORMANCE.md``), so a server should drain its queue into a
+    batch and amortize the roundtrip. The batch is a plain ``vmap`` of the
+    fused chain: the batched Pallas ICP NN stays ONE Mosaic program (the
+    batch axis becomes an outer grid dimension), and under a
+    ``jax.sharding.Mesh`` the batch axis shards over ``data`` (see
+    ``distributed.batch``).
+
+    Returns ``(DetectionResult, n_selected[B])`` with a leading batch axis
+    on every leaf.
+    """
+    cfg = _tier_cfg(bank, cfg)
+    return _organized_detect_batch_jit(
+        xyz_imgs, valids, bank, cfg, block, half_window, crop_lo, crop_hi,
+        viewpoint)

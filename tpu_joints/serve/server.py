@@ -110,6 +110,8 @@ class DetectionService:
         max_pending: int = 8,
         max_retries: int = 2,
         retry_backoff_s: float = 0.1,
+        batch_max: int = 1,
+        batch_window_ms: float = 4.0,
     ):
         self.bank = bank
         self.cfg = cfg
@@ -118,6 +120,14 @@ class DetectionService:
         self._slots = threading.BoundedSemaphore(max_pending)
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
+        # batch_max > 1 turns on depth-frame micro-batching: concurrent
+        # /detect depth requests coalesce into ONE batched dispatch
+        # (detect_organized_batch) — dispatch latency amortizes across the
+        # batch (serve.batching). 1 = off (every frame is its own dispatch).
+        self.batch_max = int(batch_max)
+        self.batch_window_ms = float(batch_window_ms)
+        self._batchers: dict = {}
+        self._batchers_lock = threading.Lock()
         self.n_requests = 0
         self.n_errors = 0
         self.n_rejected = 0
@@ -190,13 +200,16 @@ class DetectionService:
         # match → refine. Under a remote attachment every dispatch costs a
         # control-channel send (~10 ms measured on v5e-via-tunnel), so the
         # serving path uses the same one-dispatch executable as the bench.
-        def run():
-            res, _n_sel = detect_organized(
-                img, vmask, self.bank, self.cfg, block=block, half_window=5,
-                fused=True)
-            return res
+        if self.batch_max > 1:
+            res, latency_ms = self._batched_detect(img, vmask, block)
+        else:
+            def run():
+                res, _n_sel = detect_organized(
+                    img, vmask, self.bank, self.cfg, block=block,
+                    half_window=5, fused=True)
+                return res
 
-        res, latency_ms = self._guarded(run)
+            res, latency_ms = self._guarded(run)
         if not (self.cfg.segment_scene or self.cfg.remove_plane):
             # authoritative sparse-frame fallback: stencil normals reject
             # pixels on depth edges or with < 5-point windows, so a frame
@@ -209,6 +222,56 @@ class DetectionService:
                     and n_organized < valid.sum() // 2):
                 return self.detect_points(xyz_img[valid])
         return self._payload(res, latency_ms, self.cfg)
+
+    def _batched_detect(self, img, vmask, block: int):
+        """Route one organized frame through the micro-batcher (one
+        ``FrameBatcher`` per frame shape × block, so every batch is
+        shape-homogeneous and hits one compiled executable family)."""
+        from tpu_joints.serve.batching import FrameBatcher
+
+        key = (tuple(img.shape), block)
+        with self._batchers_lock:
+            batcher = self._batchers.get(key)
+            if batcher is None:
+                def run_batch(imgs, vms, _block=block):
+                    import jax.numpy as jnp
+
+                    from tpu_joints.pipelines.detect import (
+                        detect_organized_batch)
+
+                    def go():
+                        res, _ = detect_organized_batch(
+                            jnp.asarray(imgs), jnp.asarray(vms), self.bank,
+                            self.cfg, block=_block, half_window=5)
+                        return res
+
+                    # the leader is the single writer while it holds the
+                    # lock; retry policy identical to the unbatched path
+                    with self._lock:
+                        return self._run_with_retry(go)
+
+                batcher = FrameBatcher(run_batch, max_batch=self.batch_max,
+                                       window_ms=self.batch_window_ms)
+                self._batchers[key] = batcher
+        if not self._slots.acquire(blocking=False):
+            self.n_rejected += 1
+            raise Busy("detection queue full")
+        try:
+            t0 = time.perf_counter()
+            res = batcher.submit(np.asarray(img), np.asarray(vmask))
+            latency_ms = (time.perf_counter() - t0) * 1000.0
+            self.n_requests += 1
+        finally:
+            self._slots.release()
+        return res, latency_ms
+
+    @property
+    def n_batches(self) -> int:
+        return sum(b.n_batches for b in self._batchers.values())
+
+    @property
+    def n_batched_frames(self) -> int:
+        return sum(b.n_batched_frames for b in self._batchers.values())
 
     def detect_points(self, pts: np.ndarray) -> dict:
         pts = np.asarray(pts, np.float32).reshape(-1, 3)
@@ -367,6 +430,8 @@ def make_server(
                     "errors": service.n_errors,
                     "rejected": service.n_rejected,
                     "retries": service.n_retries,
+                    "batches": service.n_batches,
+                    "batched_frames": service.n_batched_frames,
                     "bank_views": int(service.bank.n_views),
                 })
             else:
