@@ -127,8 +127,8 @@ def _make_config():
         icp_max_corr_start=0.2,
         # SHOT_demo's full-CAD polish + score2<0.006 gate; SMALL's
         # 1024-row polish needs the extra iterations for sub-degree poses
+        # (point-to-plane: ≈ 0.2°/0.6 mm full scale)
         final_icp_iterations=8 if SMALL else 6,
-                                  # (point-to-plane: ≈ 0.0°/0.4 mm)
         # 16 ranked candidates: under sensor noise the true pose can sit
         # deep in the Hough peak list (measured rank ~10 at 0.5 mm noise);
         # the full-CAD ranking picks it out of the wider field for a few
@@ -142,6 +142,12 @@ def _make_config():
         # 4 — ~4× less NN distance work on the latency-dominant stage
         refine_top=4,
         tier1_rows=512,
+        # ranking needs candidates near their basins, not converged: 4
+        # p2plane iterations separate true-vs-flip coverage as well as 6
+        # and tier 2 re-polishes the survivors at the full budget from
+        # whatever tier 1 reached (3 was too coarse: the winner's tier-2
+        # polish converged to a 1.68° local optimum; 4 lands at 0.17°)
+        tier1_iterations=4,
         # 2560 lanes: the 640x480/BLOCK=4 working set is ~2420 points,
         # so 3072 was 25% padding riding through every NN matmul column.
         # The segmented chain runs at the SAME capacity: its lattice crop
@@ -356,6 +362,10 @@ def main():
         print(
             f"# {label}: device={jax.devices()[0].device_kind} "
             f"working_set={int(n_sel)} fitness={float(res.fitness):.2e} "
+            # res.fitness is the winner's VIEW-ICP fitness — tier-1
+            # stride-reduced under two-tier refinement (ranking-grade);
+            # acceptance gates on the tier-2 full-CAD fitness below
+            f"full_fitness={float(res.full_fitness):.2e} "
             f"accepted={bool(res.accepted)} rot_err={rot_err:.2f}deg "
             f"trans_err={trans_err*1000:.1f}mm add={add_err*1000:.1f}mm "
             f"min={min(times):.1f}ms max={max(times):.1f}ms",

@@ -34,9 +34,16 @@ class DetectionConfig:
     # sampling
     model_ss: float = 0.01            # CAD_desc.cpp uniform sampling 0.01
     scene_ss: float = 0.03            # SHOT_demo VoxelGrid 0.03 (:413-417)
-    # keypoint detector: "uniform" (UniformSampling, the reference default)
-    # or "iss" (the commented-out ISSKeypoint3D alternative, SHOT.cpp:329-352)
+    # keypoint detector: "uniform" (UniformSampling, the reference default),
+    # "iss" (the commented-out ISSKeypoint3D alternative, SHOT.cpp:329-352),
+    # or "lattice" (organized front end only: keys selected per
+    # key_group×key_group tile cell ON the sensor lattice inside ingest —
+    # pure stencil ops, no sort; a 2-D-lattice stand-in for the 3-D voxel
+    # semantics that is equivalent on bounded-depth single-view surfaces)
     keypoints: str = "uniform"
+    # tile-cell edge (in ingest tiles) of the "lattice" keypoint detector:
+    # one key per key_group² tiles ≈ scene_ss / (block · pixel pitch)
+    key_group: int = 3
     iss_gamma_21: float = 0.975       # SHOT.cpp:338-339
     iss_gamma_32: float = 0.975
     # normals
@@ -112,6 +119,14 @@ class DetectionConfig:
     # per-candidate ICP/polish row budget of the tier-1 pass (stride
     # subsample of the bank's icp clouds); only read when refine_top > 0
     tier1_rows: int = 512
+    # ICP iteration budget of the tier-1 (ranking-only) stages — the view
+    # refinement and the ranking polish. The refinement stage's latency is
+    # per-iteration overhead-bound (each iteration is one sequential NN
+    # round), so ranking at 3-4 iterations while tier 2 runs the full
+    # budget cuts the stage's sequential depth nearly in half. 0 = tier 1
+    # uses the full budgets (icp_iterations / final_icp_iterations); only
+    # read when refine_top > 0.
+    tier1_iterations: int = 0
     # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0

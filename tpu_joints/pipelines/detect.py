@@ -500,6 +500,16 @@ def detect_with_features(
     # downstream to recover them
     two_tier = 0 < cfg.refine_top < C and cfg.final_icp_iterations > 0
     stride = max(1, Ni // cfg.tier1_rows) if two_tier else 1
+    # tier-1 stages are ranking-only: an optional reduced iteration budget
+    # (cfg.tier1_iterations) cuts their sequential NN-round depth — the
+    # latency driver of the whole refinement stage — while tier 2 keeps
+    # the acceptance-grade budgets
+    t1_view_iters = (cfg.tier1_iterations
+                     if two_tier and cfg.tier1_iterations > 0
+                     else cfg.icp_iterations)
+    t1_polish_iters = (min(cfg.tier1_iterations, cfg.final_icp_iterations)
+                       if two_tier and cfg.tier1_iterations > 0
+                       else cfg.final_icp_iterations)
     with jax.named_scope("icp_refine"):
         # all candidates refined in ONE batched ICP: candidate axis folded
         # into the NN query rows (never vmap the chunked top-k scan — see
@@ -508,7 +518,7 @@ def detect_with_features(
             bank.icp_xyz[cand_views][:, ::stride],
             bank.icp_mask[cand_views][:, ::stride],
             feats.cloud, cand_init,
-            iterations=cfg.icp_iterations,
+            iterations=t1_view_iters,
             max_corr_dist=cfg.icp_max_corr_dist,
             max_corr_start=cfg.icp_max_corr_start, chunk=2048,
             point_to_plane=cfg.icp_point_to_plane,
@@ -558,7 +568,7 @@ def detect_with_features(
                 jnp.broadcast_to(m_xyz, (C, rows, 3)),
                 jnp.broadcast_to(m_mask, (C, rows)),
                 feats.cloud, full_cands,
-                iterations=cfg.final_icp_iterations,  # 0 = rank only
+                iterations=t1_polish_iters,  # 0 = rank only
                 max_corr_dist=cfg.icp_max_corr_dist,
                 # wide basin early: a mostly-chord winner can sit several cm
                 # slid along the cylinder axis, beyond the final gate
