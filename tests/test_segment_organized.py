@@ -389,3 +389,95 @@ def test_detect_organized_batch_matches_per_frame(rng):
         assert np.linalg.norm(A[:3, 3] - B[:3, 3]) < 2e-3
         np.testing.assert_allclose(float(r_b.fitness[i]),
                                    float(r_i.fitness), rtol=2e-2, atol=1e-8)
+
+
+def test_lattice_key_flags_one_per_occupied_cell():
+    """_lattice_key_flags: exactly one key per g×g cell that holds any
+    valid tile; the key is the tile nearest the cell's mean position."""
+    from tpu_joints.pipelines.ingest import _lattice_key_flags
+
+    rng = np.random.default_rng(3)
+    Hb, Wb, g = 13, 17, 3   # deliberately not multiples of g
+    got = rng.random((Hb, Wb)) > 0.4
+    mx = rng.normal(0, 1, (Hb, Wb)).astype(np.float32)
+    my = rng.normal(0, 1, (Hb, Wb)).astype(np.float32)
+    mz = rng.normal(0, 1, (Hb, Wb)).astype(np.float32)
+    flag = np.asarray(_lattice_key_flags(
+        (jnp.asarray(mx), jnp.asarray(my), jnp.asarray(mz)),
+        jnp.asarray(got), g))
+
+    assert not np.any(flag & ~got)
+    for ci in range(0, Hb, g):
+        for cj in range(0, Wb, g):
+            cell = np.s_[ci:min(ci + g, Hb), cj:min(cj + g, Wb)]
+            n_occ = got[cell].sum()
+            n_key = flag[cell].sum()
+            if n_occ == 0:
+                assert n_key == 0
+            else:
+                # edge cells clipped by the pad can only LOSE their key if
+                # the winner fell in the padded region — impossible (pad
+                # tiles are invalid), so exactly one key per occupied cell
+                assert n_key == 1, (ci, cj, n_occ, n_key)
+                # winner = nearest to the cell's occupied-mean
+                pts = np.stack([mx[cell], my[cell], mz[cell]], -1)
+                occ = got[cell]
+                c = pts[occ].mean(axis=0)
+                d2 = np.where(occ, ((pts - c) ** 2).sum(-1), np.inf)
+                assert d2[flag[cell]][0] == d2.min()
+
+
+def test_detect_organized_lattice_keypoints_plumbing(rng):
+    """keypoints="lattice" (EXPERIMENTAL): keys selected on the sensor
+    lattice inside ingest flow through the fused chain — every key is a
+    real scene point, counts land near one-per-cell, and the segmented
+    route's keys avoid the cropped table. Pose quality is NOT asserted:
+    the image-uniform key field measurably trades accuracy at full scale
+    (1.28° vs 0.17° — docs/PERFORMANCE.md), which is why the mode is
+    opt-in and the pipelines default to 3-D uniform sampling."""
+    from tpu_joints.modelbank import build_bank
+    from tpu_joints.pipelines.detect import detect_organized
+
+    xyz_img, valid, T_gt = _raycast_frame(segment_table=True)
+    cfg = _seg_cfg(
+        descr_rad=0.06, model_ss=0.02, scene_ss=0.02, rf_frames="board",
+        rf_rad=0.06, cg_size=0.05, icp_iterations=4, max_candidates=4,
+        max_instances_per_view=1, k_max=64, scene_key_capacity=512,
+        final_icp_iterations=4, keypoints="lattice", key_group=3)
+    rngm = np.random.default_rng(7)
+    theta = rngm.uniform(0, 2 * np.pi, 1500)
+    h = rngm.uniform(-0.3, 0.3, 1500)
+    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
+                     1).astype(np.float32)
+    bank = build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
+                      rf_radius=cfg.rf_rad, frames="board",
+                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
+                      k_max=cfg.k_max, level=0, resolution=48,
+                      key_capacity=32, icp_capacity=512)
+    crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
+    crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
+    for route_cfg in (cfg, dataclasses.replace(cfg, segment_scene=False,
+                                               remove_plane=False)):
+        res, n_sel = detect_organized(
+            jnp.asarray(xyz_img), jnp.asarray(valid), bank, route_cfg,
+            block=2, half_window=3, crop_lo=crop_lo, crop_hi=crop_hi,
+            fused=True)
+        n_keys = int(res.metrics["scene_keypoints"])
+        n_scene = int(res.metrics["scene_points"])
+        # one key per occupied 3×3 tile cell ≈ scene/9, within slack for
+        # partial cells and the normals' support rejection
+        assert n_scene // 14 < n_keys <= -(-n_scene // 4), (n_keys, n_scene)
+        if bool(route_cfg.segment_scene):
+            # segmented route: key cells see only survivors → no keys on
+            # the table plane (z ≈ 1.33 camera depth)
+            from tpu_joints.pipelines.ingest import (
+                ingest_organized_segmented)
+
+            out = ingest_organized_segmented(
+                jnp.asarray(xyz_img), jnp.asarray(valid), route_cfg,
+                block=2, half_window=3, crop_lo=crop_lo, crop_hi=crop_hi,
+                key_group=route_cfg.key_group)
+            scene_c, _, _, _, kflag = out
+            kxyz = np.asarray(scene_c.xyz)[np.asarray(kflag)]
+            assert kxyz.shape[0] == n_keys
+            assert float(np.mean(kxyz[:, 2] > 1.25)) < 0.05

@@ -97,12 +97,17 @@ def prepare_scene(
     viewpoint: Optional[jnp.ndarray] = None,
     normals: Optional[jnp.ndarray] = None,
     curvature: Optional[jnp.ndarray] = None,
+    key_select: Optional[jnp.ndarray] = None,
 ) -> SceneFeatures:
     """Normals → [region-growing crop] → keypoints → descriptors + LRFs.
 
     Pass ``normals``/``curvature`` to skip estimation — the organized-cloud
     front end (``pipelines.ingest.ingest_organized``) already computed them
-    at stencil cost on the sensor grid (A9 fast path).
+    at stencil cost on the sensor grid (A9 fast path). ``key_select``
+    (bool[N]) supplies a precomputed keypoint mask — the organized front
+    end's lattice detector (cfg.keypoints == "lattice") selects keys with
+    sensor-grid stencils instead of the two working-set sorts the generic
+    uniform sampler pays.
     """
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
@@ -160,7 +165,9 @@ def prepare_scene(
         )
         scene = scene.with_mask(keep)
 
-    if cfg.keypoints == "iss":
+    if key_select is not None:
+        keep = key_select & scene.mask
+    elif cfg.keypoints == "iss":
         from tpu_joints.features.iss import iss_keypoints
 
         # PCL's commented alternative: salient radius 6·res, non-max 4·res
@@ -171,6 +178,13 @@ def prepare_scene(
             gamma_21=cfg.iss_gamma_21, gamma_32=cfg.iss_gamma_32,
             k_max=cfg.k_max,
         )
+    elif cfg.keypoints == "lattice":
+        # lattice keys exist only where a sensor grid does — the organized
+        # front end supplies them (detect_organized); the unorganized path
+        # has no lattice to select on
+        raise ValueError(
+            'keypoints="lattice" requires the organized front end '
+            "(detect_organized / ingest_organized_* with key_group > 0)")
     else:
         keep = uniform_sample_mask(scene, cfg.scene_ss)
     keys, kidx = compact_cloud(scene, keep, cfg.scene_key_capacity)
@@ -826,17 +840,24 @@ def _organized_features_jit(
     from tpu_joints.pipelines.ingest import (
         ingest_organized_blocks, ingest_organized_segmented)
 
+    kg = cfg.key_group if cfg.keypoints == "lattice" else 0
+    key_select = None
     if cfg.segment_scene or cfg.remove_plane:
-        scene, normals, curvature, n_sel = ingest_organized_segmented(
+        out = ingest_organized_segmented(
             xyz_img, valid, cfg, block=block, half_window=half_window,
-            crop_lo=crop_lo, crop_hi=crop_hi, viewpoint=viewpoint)
+            crop_lo=crop_lo, crop_hi=crop_hi, viewpoint=viewpoint,
+            key_group=kg)
     else:
-        scene, normals, curvature, n_sel = ingest_organized_blocks(
+        out = ingest_organized_blocks(
             xyz_img, valid, block=block, half_window=half_window,
             capacity=cfg.scene_capacity, crop_lo=crop_lo, crop_hi=crop_hi,
-            viewpoint=viewpoint)
+            viewpoint=viewpoint, key_group=kg)
+    if kg > 0:
+        scene, normals, curvature, n_sel, key_select = out
+    else:
+        scene, normals, curvature, n_sel = out
     feats = prepare_scene(scene, _strip_crop(cfg), viewpoint, normals,
-                          curvature)
+                          curvature, key_select=key_select)
     return feats, n_sel
 
 

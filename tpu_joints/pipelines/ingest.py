@@ -80,7 +80,48 @@ def _tile_select(xyz_img, valid, block, crop_lo, crop_hi):
                   jnp.float32(-1), jax.lax.max).astype(jnp.int32)
     got = (cnt > 0).reshape(Hb * Wb)
     pix = jnp.maximum(best_pix.reshape(Hb * Wb), 0)
-    return x, y, z, mask, pix, got
+    return x, y, z, mask, pix, got, (mx, my, mz)
+
+
+def _lattice_key_flags(tmeans, got2d: jnp.ndarray, g: int) -> jnp.ndarray:
+    """One keypoint flag per ``g``×``g`` cell of the tile lattice.
+
+    The same winner rule as UniformSampling, expressed on the lattice: in
+    every occupied cell, flag the tile whose (tile-mean) position is
+    nearest the cell's mean position — pure strided ``reduce_window``
+    stencils, no sort (the generic 3-D voxel path pays two working-set
+    sorts per frame). Ties break toward the larger flat tile index.
+
+    Args: tmeans = (mx, my, mz) [Hb, Wb] tile-mean planes (SENTINEL-free
+    only where got2d); got2d bool[Hb, Wb]. Returns bool[Hb, Wb].
+    """
+    mx, my, mz = tmeans
+    Hb, Wb = got2d.shape
+    Hp, Wp = -(-Hb // g) * g, -(-Wb // g) * g
+    pad = ((0, Hp - Hb), (0, Wp - Wb))
+    m2 = jnp.pad(got2d, pad)
+    X = jnp.pad(jnp.where(got2d, mx, 0.0), pad)
+    Y = jnp.pad(jnp.where(got2d, my, 0.0), pad)
+    Z = jnp.pad(jnp.where(got2d, mz, 0.0), pad)
+
+    def rw(a, init, op):
+        return jax.lax.reduce_window(a, init, op, (g, g), (g, g), "VALID")
+
+    cnt = rw(m2.astype(jnp.float32), 0.0, jax.lax.add)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    cx, cy, cz = rw(X, 0.0, jax.lax.add) * inv, rw(Y, 0.0, jax.lax.add) * inv, \
+        rw(Z, 0.0, jax.lax.add) * inv
+    up = lambda a: jnp.repeat(jnp.repeat(a, g, 0), g, 1)
+    d2 = (X - up(cx)) ** 2 + (Y - up(cy)) ** 2 + (Z - up(cz)) ** 2
+    d2 = jnp.where(m2, d2, jnp.float32(3e38))
+    cmin = rw(d2, jnp.float32(3e38), jax.lax.min)
+    winner = (d2 <= up(cmin)) & m2
+    # exactly one winner per occupied cell: keep the largest flat index
+    tidx = jnp.arange(Hp * Wp, dtype=jnp.int32).reshape(Hp, Wp)
+    best = rw(jnp.where(winner, tidx, -1).astype(jnp.float32),
+              jnp.float32(-1), jax.lax.max).astype(jnp.int32)
+    flag = winner & (tidx == up(best))
+    return flag[:Hb, :Wb]
 
 
 def _moment_normals(x, y, z, mask, pix, got, half_window, viewpoint):
@@ -123,7 +164,7 @@ def _moment_normals(x, y, z, mask, pix, got, half_window, viewpoint):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "half_window", "capacity")
+    jax.jit, static_argnames=("block", "half_window", "capacity", "key_group")
 )
 def ingest_organized_blocks(
     xyz_img: jnp.ndarray,
@@ -134,6 +175,7 @@ def ingest_organized_blocks(
     crop_lo: Optional[jnp.ndarray] = None,
     crop_hi: Optional[jnp.ndarray] = None,
     viewpoint: Optional[jnp.ndarray] = None,
+    key_group: int = 0,
 ) -> Tuple[Cloud, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sort-free organized ingestion: one point per ``block``×``block`` pixel
     tile, everything at full resolution expressed as plane-wise stencils.
@@ -151,14 +193,21 @@ def ingest_organized_blocks(
     gathers) paid ~42× lane padding on the trailing dim and random-gather
     serialization — 36 ms at 640×480 vs ~5 ms for this one (v5e).
 
-    Returns (scene Cloud, normals, curvature, n_selected).
+    Returns (scene Cloud, normals, curvature, n_selected); with
+    ``key_group > 0``, a fifth element — bool[capacity] lattice keypoint
+    flags aligned with the scene lanes (cfg.keypoints == "lattice").
     """
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
     H, W, _ = xyz_img.shape
     Hb, Wb = H // block, W // block
-    x, y, z, mask, pix, got = _tile_select(
+    x, y, z, mask, pix, got, tmeans = _tile_select(
         xyz_img, valid, block, crop_lo, crop_hi)
+
+    key_flag = None
+    if key_group > 0:
+        key_flag = _lattice_key_flags(
+            tmeans, got.reshape(Hb, Wb), key_group).reshape(Hb * Wb)
 
     n_selected = jnp.sum(got.astype(jnp.int32))
     if capacity is not None and capacity < Hb * Wb:
@@ -167,16 +216,20 @@ def ingest_organized_blocks(
         idx, keep = compact_indices(got, capacity)
         pix = pix[idx]
         got = keep
+        if key_flag is not None:
+            key_flag = key_flag[idx] & keep
 
     xyz, normals, curvature, got = _moment_normals(
         x, y, z, mask, pix, got, half_window, viewpoint)
     scene = Cloud(xyz=jnp.where(got[:, None], xyz, SENTINEL), mask=got,
                   rgb=jnp.zeros_like(xyz))
+    if key_flag is not None:
+        return scene, normals, curvature, n_selected, key_flag & got
     return scene, normals, curvature, n_selected
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block", "half_window")
+    jax.jit, static_argnames=("cfg", "block", "half_window", "key_group")
 )
 def ingest_organized_segmented(
     xyz_img: jnp.ndarray,
@@ -187,6 +240,7 @@ def ingest_organized_segmented(
     crop_lo: Optional[jnp.ndarray] = None,
     crop_hi: Optional[jnp.ndarray] = None,
     viewpoint: Optional[jnp.ndarray] = None,
+    key_group: int = 0,
 ) -> Tuple[Cloud, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Organized ingestion WITH the reference's scene-crop chain fused in:
     crop → dominant-plane removal → region growing → cluster curvature
@@ -209,14 +263,17 @@ def ingest_organized_segmented(
     there (this front end already did both).
 
     Returns (scene Cloud[scene_capacity], normals, curvature, n_selected —
-    survivors AFTER segmentation, before capacity truncation).
+    survivors AFTER segmentation, before capacity truncation); with
+    ``key_group > 0``, a fifth element — bool[capacity] lattice keypoint
+    flags over the SEGMENTATION SURVIVORS (a cropped-away tile never
+    seeds a key cell).
     """
     if viewpoint is None:
         viewpoint = jnp.zeros(3, jnp.float32)
     H, W, _ = xyz_img.shape
     Hb, Wb = H // block, W // block
     T = Hb * Wb
-    x, y, z, mask, pix, got = _tile_select(
+    x, y, z, mask, pix, got, tmeans = _tile_select(
         xyz_img, valid, block, crop_lo, crop_hi)
 
     # normals at ALL tile winners (the lattice nodes): the moment gather is
@@ -263,6 +320,12 @@ def ingest_organized_segmented(
     normals = jnp.where(ok[:, None], tnorm[idx], 0.0)
     curvature = jnp.where(ok, tcurv[idx], 0.0)
     scene = Cloud(xyz=xyz, mask=ok, rgb=jnp.zeros_like(xyz))
+    if key_group > 0:
+        # key cells see only the segmentation survivors: tmeans is the
+        # raw tile mean (position of the cell winner), keep is the gate
+        key_flag = _lattice_key_flags(
+            tmeans, keep.reshape(Hb, Wb), key_group).reshape(T)
+        return scene, normals, curvature, n_selected, key_flag[idx] & ok
     return scene, normals, curvature, n_selected
 
 
