@@ -16,8 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_joints_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache on the CPU backend: XLA:CPU serializes
+# AOT executables pinned to the compiling host's CPU features, and this
+# CI can move between hosts — a mismatched entry warns "may SIGILL" on
+# load, and the cache writer itself was observed segfaulting mid-suite
+# (jax compilation_cache.put_executable_and_time). CPU compiles are cheap;
+# only the TPU entry points (bench.py, __graft_entry__) keep the cache.
 
 import numpy as np
 import pytest
