@@ -38,8 +38,10 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 # persistent compile cache only on the TPU backend: XLA:CPU AOT entries are
 # pinned to the compiling host's CPU features and crash/SIGILL when the
-# machine changes (see tests/conftest.py)
-if os.environ.get("JAX_PLATFORMS", "").split(",")[0] not in ("cpu",):
+# machine changes (see tests/conftest.py). Gate on the RESOLVED backend,
+# not the env var: with JAX_PLATFORMS unset on a CPU-only host jax still
+# falls back to CPU and must not enable the cache.
+if jax.default_backend() != "cpu":
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_joints_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

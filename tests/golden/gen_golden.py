@@ -1,4 +1,4 @@
-"""One-shot generator for the PCL-numeric golden descriptor fixtures.
+"""One-shot generator for the PCL-algorithm golden descriptor fixtures.
 
 Provenance (run once, output committed as ``descriptors.npz``): PCL itself
 is not installable in this environment (no network egress), so the golden

@@ -13,34 +13,41 @@ from tpu_joints.core.io import PointData, load_pcd, save_pcd
 from tests.util import joint_points
 
 
-@pytest.fixture(scope="module")
-def workdir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("cli")
-    rng = np.random.default_rng(0)
-    model_xyz, _ = joint_points(rng, n_chord=500, n_stub=300)
-    save_pcd(str(d / "model.pcd"), PointData(xyz=model_xyz))
-    return d
-
-
 COMMON = ["--preset", "shot", "--descr_rad", "0.12", "--model_ss", "0.04",
           "--scene_ss", "0.04", "--scene_capacity", "1024"]
 
 
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """Fully self-provisioned module fixture: model + rendered views + bank.
+
+    Everything later tests read is built HERE, not by earlier tests —
+    under pytest-xdist the module's tests are distributed across workers,
+    and each worker gets its own tmp dir, so a test must never depend on
+    artifacts that a sibling test produced (the round-3 failure mode:
+    ``views/`` existed only on the worker that ran test_cli_render).
+    """
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    model_xyz, _ = joint_points(rng, n_chord=500, n_stub=300)
+    save_pcd(str(d / "model.pcd"), PointData(xyz=model_xyz))
+    cli(["render", str(d / "model.pcd"),
+         "--out", str(d / "views"), "--level", "0", "--resolution", "64"])
+    cli(["bank", str(d / "model.pcd"),
+         "--out", str(d / "bank.npz"),
+         "--level", "0", "--resolution", "64",
+         "--key_capacity", "48",
+         "--dump-txt", str(d / "dumps")] + COMMON)
+    return d
+
+
 def test_cli_render(workdir):
-    cli(["render", str(workdir / "model.pcd"),
-                   "--out", str(workdir / "views"), "--level", "0",
-                   "--resolution", "64"])
     files = os.listdir(workdir / "views")
     assert "pose.txt" in files
     assert sum(f.endswith(".pcd") for f in files) == 12  # level-0 icosphere
 
 
 def test_cli_bank_and_detect(workdir, capsys):
-    cli(["bank", str(workdir / "model.pcd"),
-                   "--out", str(workdir / "bank.npz"),
-                   "--level", "0", "--resolution", "64",
-                   "--key_capacity", "48",
-                   "--dump-txt", str(workdir / "dumps")] + COMMON)
     assert (workdir / "bank.npz").exists()
 
     # reference bank-artifact parity: one Partial_View<l>.txt per view,

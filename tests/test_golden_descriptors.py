@@ -1,12 +1,13 @@
-"""PCL-numeric golden descriptor parity (VERDICT round-2 missing item 3).
+"""PCL-algorithm cross-implementation golden descriptor parity.
 
-BASELINE.md's north star is "descriptor parity (SHOT-352/FPFH-33): match
-PCL values bit-for-tolerance". ``tests/golden/descriptors.npz`` holds
-frozen descriptor values for a fixed 420-point joint cloud, produced once
-by ``tests/golden/gen_golden.py`` — an independent scalar-loop
-re-implementation of PCL's algorithms (see its provenance docstring; PCL
-itself is not installable here). These tests fail if
-``features/shot.py`` / ``features/fpfh.py`` ever drift from those numbers.
+``tests/golden/descriptors.npz`` holds frozen descriptor values for a
+fixed 420-point joint cloud, produced once by
+``tests/golden/gen_golden.py`` — an independent scalar-loop
+re-implementation of PCL's algorithms (see its provenance docstring).
+PCL itself is not installable in this environment (no egress), so this
+is a two-implementation cross-check, NOT a comparison against values PCL
+produced. These tests fail if ``features/shot.py`` / ``features/fpfh.py``
+ever drift from those numbers.
 
 Mirrors the reference's own golden-artifact practice: descriptor text
 dumps for offline comparison (``CAD_desc.cpp:354-370``).
@@ -46,7 +47,7 @@ def test_shot_matches_golden(golden):
     assert bool(np.asarray(valid)[:n].all())
     got = np.asarray(desc)[:n]
     want = g["shot"]
-    # bit-for-tolerance: float32 accumulation order differs (einsum vs
+    # tight tolerance: float32 accumulation order differs (einsum vs
     # scalar loop), nothing else should
     np.testing.assert_allclose(got, want, atol=2e-5)
 

@@ -132,7 +132,9 @@ def compute_fpfh(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FPFH-33 for keypoints against a search surface.
 
-    Returns (desc float32[M, 33], valid bool[M]). PCL-numeric: the output
+    Returns (desc float32[M, 33], valid bool[M]). PCL-algorithm parity
+    (cross-implementation, pinned by tests/test_golden_descriptors.py): the
+    output
     is the 1/d²-weighted sum of the radius NEIGHBORS' SPFHs — the
     keypoint's own SPFH never enters (``weightPointSPFHSignature`` skips
     ``dists == 0`` and adds no self term) — with each 11-bin block

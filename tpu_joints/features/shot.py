@@ -20,9 +20,13 @@ Two interpolation schemes, both scatter-free einsum formulations:
   same matching threshold on sparse/synthetic clouds — the
   production-robust choice (see docs/PARITY.md).
 
-* ``scheme="pcl"`` — bit-for-tolerance reproduction of PCL's
-  ``interpolateSingleChannel`` (the BASELINE.md parity north star,
-  pinned by ``tests/test_golden_descriptors.py``). PCL's interpolation
+* ``scheme="pcl"`` — PCL-algorithm cross-implementation parity scheme:
+  reproduces the algorithm of PCL's ``interpolateSingleChannel`` (the
+  BASELINE.md parity north star, pinned by
+  ``tests/test_golden_descriptors.py`` against fixtures from an
+  independent scalar reimplementation — PCL itself is not installable
+  in this environment, so no value produced by PCL has been compared
+  directly). PCL's interpolation
   is *additive across dimensions* — each neighbor deposits
   ``1 − |resid_dim|`` into its home bin per dimension (summed into one
   home-slot weight) and ``|resid_dim|`` into exactly one adjacent volume
@@ -146,14 +150,16 @@ def shot_histograms_pcl(
     nbr_valid: jnp.ndarray,
     radius: float,
 ) -> jnp.ndarray:
-    """Raw (unnormalized) [M, 352] SHOT histograms, PCL-numeric.
+    """Raw (unnormalized) [M, 352] SHOT histograms, PCL-algorithm parity.
 
     Implements PCL's ``interpolateSingleChannel`` scheme exactly (additive
     quadrilinear interpolation): each neighbor's home volume/slot receives
     ``(1 − |shape resid|) + Σ_dim (1 ± dim resid)`` and one adjacent
     volume per spatial dimension (and one adjacent slot on the shape axis)
     receives that dimension's residual. Deliberately-preserved PCL edge
-    behaviors (bit-for-tolerance parity, BASELINE.md north star):
+    behaviors (cross-implementation parity, BASELINE.md north star —
+    fixtures come from an independent scalar reimplementation, PCL itself
+    being unavailable in this environment):
 
       * mass decays toward the support center/rim and the ±z poles (those
         boundary residuals have no adjacent volume, and PCL still reduces
