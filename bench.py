@@ -17,12 +17,17 @@ rate, and sweeps pose×noise robustness:
       ICP → composed full-CAD pose             (pipelines.detect)
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
-< 50 ms/scene. Prints THREE JSON lines (vs_baseline > 1 beats the target):
-  {"metric": "scene_latency", "value": <ms>, "unit": "ms", ...}
-  {"metric": "scene_latency_segmented", "value": <ms>, "unit": "ms", ...}
-  {"metric": "scene_throughput", "value": <fps>, "unit": "frames/s", ...}
-and a robustness-sweep summary (worst-case rot/trans error over 5
-pose×noise draws) on stderr.
+< 50 ms/scene. Prints one JSON line per metric (vs_baseline > 1 beats the
+target):
+  scene_latency             — raw frame → pose, single-part 42-view bank
+  scene_latency_segmented   — same with the lattice segmentation crop chain
+  scene_latency_two_part    — the flagship {chord, stub} × 42-view search
+  scene_throughput          — pipelined streaming rate (frames/s)
+  scene_throughput_batch8   — batched-dispatch serving rate (frames/s)
+  shot_descriptors_per_sec  — descriptor-stage rate
+  scene_latency_fpfh        — FPFH_demo.cpp's chain at its own parameters
+plus robustness-sweep summaries (pose×noise draws incl. a two-instance
+scene) on stderr.
 """
 from __future__ import annotations
 
@@ -52,8 +57,8 @@ TARGET_MS = 50.0
 # BENCH_SMALL=1 shrinks the problem for CI/CPU smoke-validation of the
 # script itself; headline numbers come from the full-size TPU run.
 SMALL = os.environ.get("BENCH_SMALL") == "1"
-# Optional single-section runs (BENCH_ONLY=latency|segment|throughput|sweep)
-# for profiling; the default runs everything.
+# Optional single-section runs for profiling; the default runs everything.
+# BENCH_ONLY=latency|segment|two_part|throughput|batch|descriptors|fpfh|sweep
 ONLY = os.environ.get("BENCH_ONLY", "")
 
 
@@ -188,11 +193,13 @@ def _make_config():
     )
 
 
-def _joint_model():
-    """Synthetic pipe joint at the reference's physical scale (chord
-    r=0.08 m, stub r=0.05 m inclined 30° — a perpendicular T-joint is
-    symmetric under 180° about the stub axis, which makes the ground-truth
-    pose ambiguous; the incline breaks it. See tests/util.joint_points."""
+def _joint_parts():
+    """The synthetic pipe joint's two CAD pieces in the shared joint frame
+    (chord r=0.08 m; stub r=0.05 m inclined 30° — a perpendicular T-joint
+    is symmetric under 180° about the stub axis, which makes the
+    ground-truth pose ambiguous; the incline breaks it). Returns
+    (chord, stub) float32 arrays — the reference's iros_data part clouds
+    (``SHOT_demo.cpp:430-461``). See tests/util.joint_points."""
     rng = np.random.default_rng(7)
     n_chord, n_stub = (3_000, 1_800) if SMALL else (40_000, 24_000)
     theta = rng.uniform(0, 2 * np.pi, n_chord)
@@ -205,7 +212,12 @@ def _joint_model():
     R30 = np.array([[np.cos(a30), 0, np.sin(a30)], [0, 1, 0],
                     [-np.sin(a30), 0, np.cos(a30)]], np.float32)
     stub = stub_local @ R30.T + np.array([0, 0, 0.23], np.float32)
-    return np.concatenate([chord, stub]).astype(np.float32)
+    return chord.astype(np.float32), stub.astype(np.float32)
+
+
+def _joint_model():
+    """The full joint CAD (the reference's stubcad.pcd)."""
+    return np.concatenate(_joint_parts())
 
 
 _CYL_A30 = np.radians(30.0)
@@ -272,6 +284,38 @@ def build_problem(with_table: bool = False):
     return xyz_img, valid, bank, cfg, (2 if SMALL else 4), T_pose
 
 
+def build_part_banks(cfg):
+    """{chord, stub} part banks sharing the FULL joint CAD — the
+    reference's flagship search shape: every driver loops both part banks
+    (``SHOT_demo.cpp:430-461``, ``FPFH_demo.cpp:436-467``) and composes/
+    gates the winner against ``stubcad.pcd`` (``SHOT_demo.cpp:245``)."""
+    from tpu_joints.core.cloud import bucket_size
+    from tpu_joints.modelbank import build_bank
+    from tpu_joints.modelbank.scanner import render_views
+
+    chord, stub = _joint_parts()
+    full = np.concatenate([chord, stub])
+    part_views = {}
+    for name, part in (("chord", chord), ("stub", stub)):
+        views, poses, _ = render_views(
+            part, level=0 if SMALL else 1, resolution=64 if SMALL else 128)
+        part_views[name] = (views, poses)
+    # common view capacity: the part banks concatenate along the view axis
+    vc = bucket_size(max(max(v.shape[0] for v in vs)
+                         for vs, _ in part_views.values()))
+    return {
+        name: build_bank(
+            full, views=vs, poses=ps, view_capacity=vc,
+            descriptor=cfg.descriptor, descr_radius=cfg.descr_rad,
+            rf_radius=cfg.rf_rad, rf_k_max=cfg.rf_k_max,
+            frames=cfg.rf_frames, sampling_radius=cfg.model_ss,
+            normal_k=cfg.normal_k, k_max=cfg.k_max, surface_leaf=0.01,
+            key_capacity=64 if SMALL else 256,
+            icp_capacity=1024 if SMALL else 2048)
+        for name, (vs, ps) in part_views.items()
+    }
+
+
 def _err(T_est: np.ndarray, T_gt: np.ndarray):
     Rd = T_est[:3, :3] @ T_gt[:3, :3].T
     rot = float(np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1))))
@@ -335,7 +379,7 @@ def main():
                                 crop_lo=crop_lo, crop_hi=crop_hi,
                                 fused=fused)
 
-    def timed(fn, label):
+    def timed(fn, label, poses=None, extra=None):
         res, n_sel = fn()  # compile + warm
         jax.block_until_ready(res.full_pose)
         res, n_sel = fn()
@@ -358,7 +402,8 @@ def main():
         if os.environ.get("BENCH_DEBUG"):
             from tpu_joints.core.transforms import compose as _compose
             full = np.asarray(jax.vmap(_compose)(
-                res.cand_poses, bank.poses[res.cand_views]))
+                res.cand_poses,
+                (bank.poses if poses is None else poses)[res.cand_views]))
             for c in range(full.shape[0]):
                 r, t_ = _err(full[c], T_pose)
                 print(f"#   cand{c:2d} view={int(res.cand_views[c]):2d} "
@@ -374,15 +419,48 @@ def main():
             f"full_fitness={float(res.full_fitness):.2e} "
             f"accepted={bool(res.accepted)} rot_err={rot_err:.2f}deg "
             f"trans_err={trans_err*1000:.1f}mm add={add_err*1000:.1f}mm "
-            f"min={min(times):.1f}ms max={max(times):.1f}ms",
+            f"min={min(times):.1f}ms max={max(times):.1f}ms"
+            + (extra(res) if extra else ""),
             file=sys.stderr,
         )
-        return ms
+        return ms, res
 
     if ONLY in ("", "latency"):
         timed(run, "scene_latency")
     if ONLY in ("", "segment"):
         timed(run_segmented, "scene_latency_segmented")
+
+    if ONLY in ("", "two_part"):
+        # the reference's TRUE flagship shape: every driver searches BOTH
+        # part banks — {chord, stub} × 42 views (SHOT_demo.cpp:430-461) —
+        # and gates the winner against the full joint CAD. Same segmented
+        # frame and config as scene_latency_segmented; only the search
+        # width doubles (one pooled device program, per-part top-C
+        # candidate selection — pipelines.multi.detect_parts_organized).
+        from tpu_joints.pipelines.multi import detect_parts_organized
+
+        part_banks = build_part_banks(cfg)
+        cat_poses = jnp.concatenate(
+            [part_banks[n].poses for n in ("chord", "stub")])
+        Vp = part_banks["chord"].n_views
+
+        def run_two_part():
+            names, res, n_sel = detect_parts_organized(
+                seg_img, seg_valid, part_banks, cfg, block=block,
+                half_window=half_window, crop_lo=crop_lo, crop_hi=crop_hi)
+            return res, n_sel
+
+        def _part_extra(res):
+            return f" part={('chord', 'stub')[int(res.view_idx) // Vp]}"
+
+        _, res2 = timed(run_two_part, "scene_latency_two_part",
+                        poses=cat_poses, extra=_part_extra)
+        if not SMALL:
+            rot2, trans2 = _err(np.asarray(res2.full_pose), T_pose)
+            assert bool(res2.accepted) and rot2 < 1.0 and trans2 < 0.005, (
+                f"two-part flagship missed the pose: accepted="
+                f"{bool(res2.accepted)} rot={rot2:.2f}deg "
+                f"trans={trans2*1000:.1f}mm")
 
     if ONLY in ("", "throughput"):
         # steady-state serving rate: N frames in flight, one final sync.
@@ -511,24 +589,27 @@ def main():
                                  / (cfg.scene_key_capacity / 0.05), 3),
         }))
 
-    if ONLY == "fpfh" or (ONLY == "" and os.environ.get("BENCH_FPFH") == "1"):
+    if ONLY in ("", "fpfh"):
         # the reference's SECOND flagship driver: FPFH_demo.cpp — the same
-        # segmentation-first chain with FPFH-33 descriptors and the 2-NN
-        # ratio gate (FPFH_demo.cpp:531-532, τ = d1/d2 ≤ 1) instead of
-        # SHOT's absolute gate. Same raw frame, same lattice front end,
-        # same BOARD voting frames; only the descriptor stage + match gate
-        # differ, so the delta vs scene_latency_segmented isolates the
-        # FPFH cost.
+        # segmentation-first chain with FPFH-33 at the REFERENCE'S OWN
+        # parameterization: r=0.15 descriptors computed over the keypoint
+        # cloud itself (FPFH_demo.cpp:423-428 sets the VoxelGrid keypoints
+        # as input with no setSearchSurface) and the 2-NN ratio gate
+        # (:531-532, τ = d1/d2 ≤ 1) instead of SHOT's absolute gate. Same
+        # raw frame, same lattice front end, same BOARD voting frames.
         from tpu_joints.modelbank import build_bank
 
         fpfh_cfg = dataclasses.replace(
-            cfg, descriptor="fpfh", match_mode="ratio", ratio=1.0)
+            cfg, descriptor="fpfh", match_mode="ratio", ratio=1.0,
+            descr_rad=0.15,                     # FPFH_demo.cpp:511
+            fpfh_surface="keys", fpfh_k_max=192)
         fpfh_bank = build_bank(
             _joint_model(), descriptor="fpfh",
             descr_radius=fpfh_cfg.descr_rad, rf_radius=fpfh_cfg.rf_rad,
             rf_k_max=fpfh_cfg.rf_k_max, frames=fpfh_cfg.rf_frames,
             sampling_radius=fpfh_cfg.model_ss, normal_k=fpfh_cfg.normal_k,
-            k_max=fpfh_cfg.k_max, level=0 if SMALL else 1,
+            k_max=fpfh_cfg.k_max, fpfh_surface="keys", fpfh_k_max=192,
+            level=0 if SMALL else 1,
             resolution=64 if SMALL else 128, surface_leaf=0.01,
             key_capacity=64 if SMALL else 256,
             icp_capacity=1024 if SMALL else 2048)
@@ -539,7 +620,7 @@ def main():
                 half_window=half_window, crop_lo=crop_lo, crop_hi=crop_hi,
                 fused=fused)
 
-        timed(run_fpfh, "scene_latency_fpfh")
+        timed(run_fpfh, "scene_latency_fpfh", poses=fpfh_bank.poses)
 
     if ONLY in ("", "sweep"):
         # robustness acceptance: 5 pose×noise draws through the DEFAULT

@@ -60,11 +60,22 @@ def main():
     scenes = stack_clouds([scene] * 4)
     scenes, bank_sh = shard_inputs(scenes, bank, mesh)
 
-    lowered = detect_batch.lower(scenes, bank_sh, cfg)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
-    with open("/tmp/detect_batch_hlo.txt", "w") as f:
-        f.write(hlo)
+    from tpu_joints.distributed.batch import (
+        _detect_batch_gspmd, _detect_batch_shardmap)
+
+    variants = {
+        "gspmd": lambda: _detect_batch_gspmd.lower(scenes, bank_sh, cfg),
+        "shard_map": lambda: _detect_batch_shardmap.lower(
+            scenes, bank_sh, cfg, mesh),
+    }
+    for variant, lower in variants.items():
+        hlo = lower().compile().as_text()
+        with open(f"/tmp/detect_batch_hlo_{variant}.txt", "w") as f:
+            f.write(hlo)
+        inventory(variant, hlo)
+
+
+def inventory(variant, hlo):
 
     pat = re.compile(
         r"(\S+) = (\S+) (all-gather|all-reduce|collective-permute|"
@@ -89,14 +100,15 @@ def main():
                 n *= int(d)
         total_bytes += n * sz.get(dt, 4)
 
-    print(f"collective op inventory for detect_batch "
+    print(f"collective op inventory for detect_batch[{variant}] "
           f"(mesh data=4 x model=2, {len(hlo.splitlines())} HLO lines):")
     for op, n in sorted(ops.items()):
         print(f"  {op:20s} x{n}")
     print(f"  total collective payload ~{total_bytes / 1024:.1f} KiB")
     print("shapes (first 40):")
     print("\n".join(details))
-    print("full HLO: /tmp/detect_batch_hlo.txt")
+    print(f"full HLO: /tmp/detect_batch_hlo_{variant}.txt")
+    print()
 
 
 if __name__ == "__main__":

@@ -108,6 +108,19 @@ def test_detect_batch_sharded_matches_single(mesh):
             float(out.fitness[b]), float(ref.fitness), rtol=1e-4, atol=1e-8
         )
 
+    # the explicit shard_map TP formulation (grouping per view shard; only
+    # [V, P] instance tables cross the model axis — no f32[V, 64³]
+    # accumulator all-gather, docs/PARITY.md) must agree with GSPMD
+    out_sm = detect_batch(batch_sh, bank_sh, cfg, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(out.view_idx), np.asarray(out_sm.view_idx))
+    np.testing.assert_allclose(
+        np.asarray(out.full_pose), np.asarray(out_sm.full_pose),
+        rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.cand_fitness), np.asarray(out_sm.cand_fitness),
+        rtol=2e-4, atol=1e-9)
+
 
 def test_ring_icp_matches_single_device(mesh1d):
     """Sharded ICP (VERDICT item 9): ring-NN correspondences + psum'd

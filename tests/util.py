@@ -110,3 +110,66 @@ def raycast_joint(T_model_to_cam, width=320, height=240, fov_deg=57.0):
 
     return raycast_cylinders(joint_cylinders(), T_model_to_cam,
                              width=width, height=height, fov_deg=fov_deg)
+
+
+_KNOB_SPECS = [  # (center, yaw about z) — keep in sync with knobby_joint_points
+    (np.array([-0.24, 0.0, 0.10]), 0.3),
+    (np.array([0.24, 0.06, -0.06]), 1.4),
+    (np.array([0.02, -0.10, -0.02]), 2.5),
+    (np.array([0.10, 0.04, 0.30]), 4.0),
+]
+
+
+def knobby_joint_parts(rng, n_chord=700, n_stub=400, n_knob=150):
+    """The knobby joint split into its two CAD parts (the reference's
+    {chord, stub} pieces, ``SHOT_demo.cpp:430-461``): the chord cylinder
+    WITH its bracket features, and the inclined stub cylinder.
+
+    Returns ``{"chord": xyz, "stub": xyz}`` in the shared joint frame.
+    """
+    chord, _ = cylinder_points(rng, radius=0.08, height=0.6, n=n_chord,
+                               axis="x")
+    stub, _ = cylinder_points(rng, radius=0.05, height=0.3, n=n_stub,
+                              axis="z")
+    a = np.radians(30.0)
+    R30 = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                    [-np.sin(a), 0, np.cos(a)]], np.float32)
+    stub = stub @ R30.T + np.array([0, 0, 0.08 + 0.15], np.float32)
+    feats = []
+    n_half = max(n_knob // 2, 10)
+    for c, yaw in _KNOB_SPECS:
+        R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                      [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]], np.float32)
+        u = rng.uniform(0, 0.09, n_half)
+        v = rng.uniform(-0.04, 0.04, n_half)
+        p1 = np.stack([u, v, np.zeros(n_half)], 1)
+        u2 = rng.uniform(0, 0.09, n_half)
+        v2 = rng.uniform(-0.04, 0.04, n_half)
+        p2 = np.stack([np.zeros(n_half), v2, u2], 1)
+        feats.append(np.concatenate([p1, p2]) @ R.T + c)
+    return {
+        "chord": np.concatenate([chord] + feats).astype(np.float32),
+        "stub": stub.astype(np.float32),
+    }
+
+
+def knobby_joint_primitives():
+    """The knobby joint as analytic raycast primitives: the two cylinders
+    plus the bracket plates as bounded rectangles (for
+    ``serve.depth.raycast_cylinders``)."""
+    cylinders = joint_cylinders()
+    rects = []
+    for c, yaw in _KNOB_SPECS:
+        R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                      [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]], np.float32)
+        # z=0 plate: u ∈ [0, 0.09] along x, v ∈ [-0.04, 0.04] along y
+        rects.append((R @ np.array([0.045, 0.0, 0.0], np.float32) + c,
+                      R @ np.array([1.0, 0.0, 0.0], np.float32),
+                      R @ np.array([0.0, 1.0, 0.0], np.float32),
+                      0.045, 0.04))
+        # x=0 plate: u ∈ [0, 0.09] along z, v ∈ [-0.04, 0.04] along y
+        rects.append((R @ np.array([0.0, 0.0, 0.045], np.float32) + c,
+                      R @ np.array([0.0, 0.0, 1.0], np.float32),
+                      R @ np.array([0.0, 1.0, 0.0], np.float32),
+                      0.045, 0.04))
+    return cylinders, rects

@@ -55,6 +55,17 @@ class DetectionConfig:
     # nearest-anchor propagation (big-cloud fast path; see
     # features.normals.estimate_normals_anchored)
     normal_anchors: int = 0
+    # FPFH search surface: "cloud" computes each keypoint's FPFH over the
+    # full working-set cloud; "keys" over the keypoint cloud itself — the
+    # reference's exact FPFH parameterization (``FPFH_demo.cpp:423-428``
+    # sets the VoxelGrid keypoints as input with NO setSearchSurface, so
+    # PCL searches the keypoint cloud). "keys" is what makes the r=0.15
+    # support tractable: at keypoint spacing the 0.15-ball holds ~200
+    # points instead of the working set's ~1500.
+    fpfh_surface: str = "cloud"
+    # support-gather width for FPFH when it differs from k_max (the 0.15
+    # radius needs ~2× the lanes of the SHOT 0.06 support); 0 = use k_max
+    fpfh_k_max: int = 0
     # matching
     match_mode: str = "nn"            # "nn" (abs gate) | "ratio"
     match_threshold: float = 0.25     # squared desc distance, SHOT.cpp:418
@@ -199,9 +210,12 @@ SHOT_DEMO = DetectionConfig(
 )
 
 FPFH_DEMO = DetectionConfig(
-    # FPFH_demo.cpp: FPFH r=0.15, VoxelGrid 0.03/0.02, ratio τ ≤ 1,
-    # region-growing crop, chained full-CAD ICP accept < 0.006
+    # FPFH_demo.cpp: FPFH r=0.15 over the keypoint cloud itself
+    # (setInputCloud(keypoints), no setSearchSurface — :423-428),
+    # VoxelGrid 0.03/0.02, ratio τ ≤ 1, region-growing crop, chained
+    # full-CAD ICP accept < 0.006
     descriptor="fpfh", descr_rad=0.15, scene_ss=0.03, model_ss=0.02,
+    fpfh_surface="keys", fpfh_k_max=192,
     normal_radius=0.15,               # FPFH_demo.cpp:405-428 radius normals
     rf_frames="board",                # FPFH_demo pairs FPFH with BOARD (:548-585)
     match_mode="ratio", ratio=1.0, segment_scene=True,

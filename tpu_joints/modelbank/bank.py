@@ -122,6 +122,8 @@ def build_bank(
     normal_k: int = 40,
     normal_radius: float = 0.0,
     k_max: int = 128,
+    fpfh_surface: str = "cloud",
+    fpfh_k_max: int = 0,
     level: int = 1,
     resolution: int = 100,
     view_capacity: Optional[int] = None,
@@ -184,8 +186,20 @@ def build_bank(
             desc, rf, valid = compute_shot(keys, cloud, normals, radius=descr_radius, k_max=k_max)
             need_rf = frames != "shot"
         elif descriptor == "fpfh":
-            desc, valid = compute_fpfh(keys, normals[kidx], cloud, normals,
-                                       radius=descr_radius, k_max=k_max)
+            fk = fpfh_k_max or k_max
+            if fpfh_surface == "keys":
+                # reference FPFH semantics: the VoxelGrid keypoints are
+                # their own search surface (FPFH_demo.cpp:505-510) — must
+                # match the detection config's fpfh_surface
+                desc, valid = compute_fpfh(keys, normals[kidx], keys,
+                                           normals[kidx],
+                                           radius=descr_radius, k_max=fk)
+            elif fpfh_surface == "cloud":
+                desc, valid = compute_fpfh(keys, normals[kidx], cloud,
+                                           normals, radius=descr_radius,
+                                           k_max=fk)
+            else:
+                raise ValueError(f"unknown fpfh_surface {fpfh_surface!r}")
             rf = None
             need_rf = True
         else:

@@ -12,11 +12,16 @@ from tpu_joints.pipelines.detect import (
     match_bank,
     prepare_scene,
 )
-from tpu_joints.pipelines.multi import MultiPartResult, detect_parts
+from tpu_joints.pipelines.multi import (
+    MultiPartResult,
+    detect_parts,
+    detect_parts_organized,
+)
 
 __all__ = [
     "MultiPartResult",
     "detect_parts",
+    "detect_parts_organized",
     "DetectionResult",
     "SceneFeatures",
     "ViewClusters",

@@ -209,8 +209,22 @@ def prepare_scene(
         rf_ok = valid
         need_rf = cfg.rf_frames != "shot"
     elif cfg.descriptor == "fpfh":
-        desc, valid = compute_fpfh(keys, normals[kidx], scene, normals,
-                                   radius=cfg.descr_rad, k_max=cfg.k_max)
+        fk = cfg.fpfh_k_max or cfg.k_max
+        if cfg.fpfh_surface == "keys":
+            # the reference's FPFH parameterization: the keypoint cloud is
+            # its own search surface (FPFH_demo.cpp:423-428 — VoxelGrid
+            # keypoints as input, no setSearchSurface). Key normals come
+            # from the working-set estimate rather than PCL's re-estimated
+            # radius-0.15 normals on the sparse keys — same on both the
+            # bank and scene sides, so descriptor spaces stay comparable.
+            desc, valid = compute_fpfh(keys, normals[kidx], keys,
+                                       normals[kidx], radius=cfg.descr_rad,
+                                       k_max=fk)
+        elif cfg.fpfh_surface == "cloud":
+            desc, valid = compute_fpfh(keys, normals[kidx], scene, normals,
+                                       radius=cfg.descr_rad, k_max=fk)
+        else:
+            raise ValueError(f"unknown fpfh_surface {cfg.fpfh_surface!r}")
         rf = rf_ok = None
         need_rf = True
     else:
@@ -307,6 +321,20 @@ def _group_all_views(
     cfg: DetectionConfig,
 ) -> Instances:
     """Correspondence grouping vmapped over the view axis."""
+    return _group_views_arrays(feats, bank.key_xyz, bank.rf,
+                               bank.key_valid, corrs, cfg)
+
+
+def _group_views_arrays(
+    feats: SceneFeatures,
+    bank_key_xyz: jnp.ndarray,
+    bank_rf: jnp.ndarray,
+    bank_key_valid: jnp.ndarray,
+    corrs: Correspondences,
+    cfg: DetectionConfig,
+) -> Instances:
+    """Array-argument grouping (no ModelBank container): the shard_map TP
+    formulation (``distributed.batch``) passes per-device view shards."""
     if cfg.algorithm == "hough":
         def per_view(mk, mrf, mvalid, c):
             return hough_group(
@@ -325,7 +353,7 @@ def _group_all_views(
             )
     else:
         raise ValueError(f"unknown grouping algorithm {cfg.algorithm!r}")
-    return jax.vmap(per_view)(bank.key_xyz, bank.rf, bank.key_valid, corrs)
+    return jax.vmap(per_view)(bank_key_xyz, bank_rf, bank_key_valid, corrs)
 
 
 _prepare_jit = functools.partial(jax.jit, static_argnames=("cfg",))(prepare_scene)
@@ -474,26 +502,69 @@ def detect_with_features(
     feats: SceneFeatures,
     bank: ModelBank,
     cfg: DetectionConfig,
+    n_parts: int = 1,
 ) -> DetectionResult:
     """Match → group → refine → compose against one (sub-)bank.
 
     Factored out of :func:`detect` so coarse-to-fine policies (the cluster
     tree of ``FPFH_scenes_clustered.cpp``, SURVEY.md A29) can reuse the
     whole chain on gathered view subsets without re-extracting features.
+
+    ``n_parts > 1``: the bank's view axis is a concatenation of that many
+    part banks (the reference's ``for k in {chord, stub}`` outer loop,
+    ``SHOT_demo.cpp:430-461``) sharing ONE full CAD; candidate selection
+    becomes top-``max_candidates`` *per part* so a vote-rich part cannot
+    crowd the other out of the refinement pool, and every downstream stage
+    (two-tier ICP, coverage ranking, acceptance) runs on the pooled
+    ``n_parts · max_candidates`` field unchanged. The winning candidate's
+    part is ``view_idx // (V / n_parts)``. See
+    ``pipelines.multi.detect_parts_organized`` for the entry that builds
+    the concatenated bank.
     """
     with jax.named_scope("match_bank"):
         corrs = match_bank(feats.desc, feats.desc_valid, bank.desc,
                            bank.key_valid, cfg)
     with jax.named_scope("grouping"):
         inst = _group_all_views(feats, bank, corrs, cfg)
+    return refine_instances(
+        feats, bank, inst, jnp.sum(corrs.valid.astype(jnp.int32)), cfg,
+        n_parts=n_parts)
 
-    V = bank.desc.shape[0]
+
+def refine_instances(
+    feats: SceneFeatures,
+    bank: ModelBank,
+    inst: Instances,
+    n_corr_total: jnp.ndarray,
+    cfg: DetectionConfig,
+    n_parts: int = 1,
+) -> DetectionResult:
+    """Everything after correspondence grouping: candidate selection →
+    (two-tier) ICP → HV → full-CAD ranking/coverage → winner + OBB.
+
+    Factored out of :func:`detect_with_features` so the tensor-parallel
+    formulation (``distributed.batch.detect_batch`` with a mesh) can run
+    matching + grouping inside a ``shard_map`` over the ``model`` axis —
+    each device extracts Hough peaks from its own view shard and only the
+    small per-view instance tables ([V, P] poses/votes) cross ICI, never
+    the ``f32[V, 64³]`` accumulators (docs/PARITY.md §'Measured TP
+    communication shape').
+    """
+    V = inst.votes.shape[0]
     P = cfg.max_instances_per_view
+    if V % n_parts:
+        raise ValueError(f"bank views ({V}) must split evenly into "
+                         f"{n_parts} parts")
+    Vp = V // n_parts
     # never ask for more candidates than the instance pool holds (a small
-    # bank with max_instances_per_view=1 can have V·P < max_candidates)
-    C = min(cfg.max_candidates, V * P)
-    votes = jnp.where(inst.valid, inst.votes, -1.0).reshape(V * P)
-    top_votes, top_flat = jax.lax.top_k(votes, C)
+    # bank with max_instances_per_view=1 can have Vp·P < max_candidates)
+    Cp = min(cfg.max_candidates, Vp * P)   # candidates PER PART
+    C = n_parts * Cp
+    votes = jnp.where(inst.valid, inst.votes, -1.0).reshape(n_parts, Vp * P)
+    top_votes, top_local = jax.lax.top_k(votes, Cp)     # [n_parts, Cp]
+    top_flat = (top_local + (Vp * P) * jnp.arange(
+        n_parts, dtype=top_local.dtype)[:, None]).reshape(C)
+    top_votes = top_votes.reshape(C)
     cand_views = top_flat // P
     cand_valid = top_votes > 0.0
     cand_init = inst.poses.reshape(V * P, 4, 4)[top_flat]
@@ -747,9 +818,11 @@ def detect_with_features(
         "scene_points": feats.cloud.count(),
         "scene_keypoints": feats.keys.count(),
         "valid_descriptors": jnp.sum(feats.desc_valid.astype(jnp.int32)),
-        "correspondences": jnp.sum(corrs.valid.astype(jnp.int32)),
+        "correspondences": n_corr_total,
         "instances": jnp.sum(inst.valid.astype(jnp.int32)),
-        "best_votes": top_votes[0],
+        # max, not [0]: under n_parts > 1 the flattened per-part top-k no
+        # longer leads with the global best
+        "best_votes": jnp.max(top_votes),
     }
     if coverage is not None:
         metrics["best_coverage"] = coverage[best]
@@ -792,7 +865,7 @@ def detect_with_features(
 
 
 _detect_features_jit = functools.partial(
-    jax.jit, static_argnames=("cfg",)
+    jax.jit, static_argnames=("cfg", "n_parts")
 )(detect_with_features)
 
 

@@ -42,7 +42,11 @@ from tpu_joints.pipelines.detect import (
     SceneFeatures,
     _model_at_capacity,
     _group_all_views,
+    _organized_features_jit,
     _prepare_jit,
+    _strip_crop,
+    _tier_cfg,
+    detect_with_features,
     match_bank,
 )
 from tpu_joints.recognize.hv import verify_hypotheses
@@ -214,6 +218,76 @@ def _detect_parts_device(
         scene_points=feats.cloud.count(),
         scene_keypoints=feats.keys.count(),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block", "half_window", "n_parts"))
+def _organized_detect_parts_jit(
+    xyz_img, valid, cat, cfg, block, half_window, crop_lo, crop_hi,
+    viewpoint, n_parts):
+    """Single-dispatch fused program: organized ingest (+ lattice crop
+    chain) → features → the pooled multi-part match/refine
+    (``detect_with_features(n_parts=P)``)."""
+    feats, n_sel = _organized_features_jit.__wrapped__(
+        xyz_img, valid, cfg, block, half_window, crop_lo, crop_hi, viewpoint)
+    res = detect_with_features(feats, cat, _strip_crop(cfg), n_parts=n_parts)
+    return res, n_sel
+
+
+def detect_parts_organized(
+    xyz_img,
+    valid,
+    banks: Dict[str, ModelBank],
+    cfg: DetectionConfig = DetectionConfig(),
+    block: int = 4,
+    half_window: int = 5,
+    crop_lo=None,
+    crop_hi=None,
+    viewpoint: Optional[jnp.ndarray] = None,
+):
+    """Raw organized frame → best pose over SEVERAL part banks, fused.
+
+    The reference's flagship shape: every driver loops ``{chord, stub} ×
+    42 views`` against one scene (``SHOT_demo.cpp:430-461``,
+    ``FPFH_demo.cpp:436-467``) and composes/gates the winner against the
+    FULL joint CAD (``stubcad.pcd``, ``SHOT_demo.cpp:245, :641-686``).
+    TPU-native: the part banks concatenate along the view axis and the
+    whole two-part search — ingest, features, one [Ms, P·V·Mk] match
+    matmul, grouping over P·V views, per-part top-C candidate selection,
+    pooled two-tier ICP + coverage ranking/acceptance — runs as ONE device
+    program (``detect_with_features(n_parts=P)``).
+
+    Unlike :func:`detect_parts` (which polishes each candidate against its
+    own part's CAD and therefore supports per-part acceptance), this entry
+    mirrors the reference's shared-CAD semantics: all part banks must
+    carry the SAME full model cloud (build each with
+    ``build_bank(full_joint_xyz, views=part_views, poses=part_poses)``),
+    and the full two-tier/coverage machinery of the single-part pipeline
+    applies unchanged.
+
+    Returns ``(part_names, DetectionResult, n_selected)``; the winner's
+    part is ``part_names[int(res.view_idx) // views_per_part]`` and each
+    candidate's part is ``res.cand_views // views_per_part``.
+    """
+    import numpy as np
+
+    names, cat, _, _ = _concat_banks(banks)
+    first = banks[names[0]]
+    for n in names[1:]:
+        if not np.array_equal(np.asarray(banks[n].model_xyz),
+                              np.asarray(first.model_xyz)):
+            raise ValueError(
+                "detect_parts_organized requires all part banks to share "
+                "one full CAD model (the reference's stubcad.pcd); build "
+                "each part bank with the full joint as model_xyz and the "
+                "part's rendered views as views=/poses=. For per-part CAD "
+                "semantics use detect_parts.")
+    cfg = _tier_cfg(cat, cfg)
+    res, n_sel = _organized_detect_parts_jit(
+        xyz_img, valid, cat, cfg, block, half_window, crop_lo, crop_hi,
+        viewpoint, len(names))
+    return names, res, n_sel
 
 
 def detect_parts(
