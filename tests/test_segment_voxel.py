@@ -1,0 +1,110 @@
+"""Voxel-lattice region growing (segment.voxel) — the bounded-cost
+segmentation backend for UNORGANIZED input (VERDICT r3 weak 5 / r4 item 7:
+file-driven scenes, ``SHOT_scenes.cpp:204-254``, previously paid the
+generic backend's O(N²) kNN-graph build)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_joints.core.cloud import make_cloud
+from tpu_joints.features.normals import estimate_normals
+from tpu_joints.segment import (
+    cluster_curvature_filter,
+    region_growing,
+    region_growing_voxel,
+)
+
+
+def _tabletop(rng, n_plane=2000, n_cyl=1500):
+    """Plane + separated cylinder — the reference's segmentation scene."""
+    plane = np.stack([rng.uniform(-0.4, 0.4, n_plane),
+                      rng.uniform(-0.4, 0.4, n_plane),
+                      np.full(n_plane, 0.0)], 1)
+    theta = rng.uniform(0, 2 * np.pi, n_cyl)
+    h = rng.uniform(-0.2, 0.2, n_cyl)
+    cyl = np.stack([h, 0.06 * np.cos(theta),
+                    0.16 + 0.06 * np.sin(theta)], 1)
+    xyz = np.concatenate([plane, cyl]).astype(np.float32)
+    is_cyl = np.zeros(len(xyz), bool)
+    is_cyl[n_plane:] = True
+    return xyz, is_cyl
+
+
+def test_voxel_matches_graph_object_selection(rng):
+    """Functional equivalence with the generic backend: after the A11
+    curvature filter both backends must keep the same object points on a
+    clean plane+cylinder scene (adjacency mechanics differ — voxel 26-hood
+    vs kNN graph — but the selected segmentation must agree)."""
+    xyz, is_cyl = _tabletop(rng)
+    cloud = make_cloud(xyz, capacity=4096)
+    normals, curvature = estimate_normals(cloud, k=16, allow_pallas=False)
+
+    kw = dict(smoothness_deg=8.0, curvature_threshold=7.0,
+              min_cluster_size=50)
+    cl_g = region_growing(cloud, normals, curvature, k=16,
+                          max_edge=0.05, **kw)
+    cl_v = region_growing_voxel(cloud, normals, curvature,
+                                leaf=0.04, grid=64, pitch=0.012, **kw)
+
+    # both must segment plane and cylinder into different clusters
+    for name, cl in (("graph", cl_g), ("voxel", cl_v)):
+        lab = np.asarray(cl.labels)[:len(xyz)]
+        assert (lab >= 0).mean() > 0.95, name
+        plane_lab = np.bincount(lab[~is_cyl][lab[~is_cyl] >= 0]).argmax()
+        cyl_lab = np.bincount(lab[is_cyl][lab[is_cyl] >= 0]).argmax()
+        assert plane_lab != cyl_lab, f"{name}: plane and cylinder fused"
+
+    # A11 filter (mean curvature) keeps the same points modulo boundary
+    # voxels: require >97% agreement
+    keep_g = np.asarray(cluster_curvature_filter(
+        cl_g, curvature, cloud.mask, 0.04))[:len(xyz)]
+    keep_v = np.asarray(cluster_curvature_filter(
+        cl_v, curvature, cloud.mask, 0.04))[:len(xyz)]
+    agree = (keep_g == keep_v).mean()
+    assert agree > 0.97, f"backends disagree on {1-agree:.1%} of points"
+
+
+def test_voxel_label_contract(rng):
+    """Labels must be point-space smallest-member indices (the Clusters
+    contract cluster_curvature_filter indexes by), -1 for invalid, and
+    sizes must be point counts."""
+    xyz, _ = _tabletop(rng, n_plane=800, n_cyl=600)
+    cloud = make_cloud(xyz, capacity=2048)
+    normals, curvature = estimate_normals(cloud, k=16, allow_pallas=False)
+    cl = region_growing_voxel(cloud, normals, curvature, leaf=0.04, grid=64,
+                              smoothness_deg=8.0, min_cluster_size=20,
+                              pitch=0.012)
+    lab = np.asarray(cl.labels)
+    sizes = np.asarray(cl.sizes)
+    assert lab.shape == (2048,)
+    # padded tail is invalid
+    assert (lab[len(xyz):] == -1).all()
+    valid = lab >= 0
+    assert valid.any()
+    for root in np.unique(lab[valid]):
+        members = np.flatnonzero(lab == root)
+        assert members.min() == root, "label != smallest member index"
+        assert sizes[root] == len(members), "sizes not point counts"
+
+
+def test_voxel_scales_to_100k(rng):
+    """The whole point: a 100k+ point unorganized cloud segments without
+    the O(N²) graph (a [100k, 100k] distance problem would OOM/time out
+    here; the voxel path is O(N) scatter + O(G³) stencils)."""
+    from tpu_joints.features.normals import estimate_normals_anchored
+
+    xyz, is_cyl = _tabletop(rng, n_plane=70_000, n_cyl=50_000)
+    cloud = make_cloud(xyz, capacity=131072)
+    # anchored normals: the big-cloud normal path (exact kNN on a stride
+    # subsample, nearest-anchor propagation) — O(N·A), not O(N²)
+    normals, curvature = estimate_normals_anchored(cloud, k=10,
+                                                   anchors=4096)
+    cl = region_growing_voxel(cloud, normals, curvature, leaf=0.04, grid=64,
+                              smoothness_deg=8.0, min_cluster_size=100,
+                              pitch=0.004)
+    lab = np.asarray(cl.labels)[:len(xyz)]
+    assert (lab >= 0).mean() > 0.9
+    plane_lab = np.bincount(lab[~is_cyl][lab[~is_cyl] >= 0]).argmax()
+    cyl_lab = np.bincount(lab[is_cyl][lab[is_cyl] >= 0]).argmax()
+    assert plane_lab != cyl_lab

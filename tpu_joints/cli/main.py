@@ -79,6 +79,11 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
                         "(SHOT_demo's chained refinement; 0 disables)")
     p.add_argument("--no-segment", action="store_true",
                    help="disable region-growing scene segmentation")
+    p.add_argument("--rg_backend", choices=["graph", "voxel"], default=None,
+                   help="region-growing backend for unorganized scenes: "
+                        "'graph' = PCL-style kNN graph (O(N^2) build); "
+                        "'voxel' = bounded-cost coarse 3-D lattice "
+                        "(segment.voxel) for big file-driven clouds")
     p.add_argument("-k", dest="use_keypoints", action="store_true",
                    help="(reference -k) show/use keypoints — accepted for parity")
     p.add_argument("-c", dest="show_correspondences", action="store_true",
@@ -104,6 +109,8 @@ def _config_from_args(args) -> "DetectionConfig":
             over[name] = v
     if getattr(args, "no_segment", False):
         over["segment_scene"] = False
+    if getattr(args, "rg_backend", None):
+        over["rg_backend"] = args.rg_backend
     return dataclasses.replace(cfg, **over) if over else cfg
 
 

@@ -165,6 +165,21 @@ class DetectionConfig:
     rg_smoothness_deg: float = 7.0
     rg_curvature: float = 7.0
     rg_min_cluster: int = 50
+    # region-growing backend for UNORGANIZED input: "graph" reproduces
+    # PCL's BFS over an explicit kNN graph (O(N²) graph build — the cost
+    # the organized lattice path avoids); "voxel" rasterizes the cloud
+    # onto a coarse 3-D lattice and grows there (segment.voxel) — O(N)
+    # scatter + O(G³·log diameter) stencils, the bounded-cost path for
+    # file-driven scenes (SHOT_scenes.cpp:204-254 batch shape). The
+    # organized front end always uses the sensor lattice and ignores this.
+    rg_backend: str = "graph"
+    rg_voxel_leaf: float = 0.0        # voxel edge (m); 0 → 2 × scene_ss
+    rg_voxel_grid: int = 64           # voxels per axis (static shape)
+    # point spacing rg_smoothness_deg is calibrated for: the voxel gate
+    # scales the angle by (voxel step / pitch) — PCL's smoothness is an
+    # angle per point step, and a coarse lattice step turns a curved
+    # surface proportionally farther (segment.voxel module doc)
+    rg_voxel_pitch: float = 0.005
     # max region-growing edge length (meters): caps the kNN graph so
     # disjoint structures can't bridge (see segment.region_growing); the
     # default (unbounded) matches PCL semantics at sensor density

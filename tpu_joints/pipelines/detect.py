@@ -152,14 +152,31 @@ def prepare_scene(
     if cfg.segment_scene:
         from tpu_joints.segment import cluster_curvature_filter, region_growing
 
-        clusters = region_growing(
-            scene, normals, curvature,
-            k=min(30, cfg.normal_k),
-            smoothness_deg=cfg.rg_smoothness_deg,
-            curvature_threshold=cfg.rg_curvature,
-            min_cluster_size=cfg.rg_min_cluster,
-            max_edge=cfg.rg_max_edge,
-        )
+        if cfg.rg_backend == "voxel":
+            # bounded-cost backend for unorganized/file-driven scenes:
+            # no O(N²) kNN graph (see segment.voxel module doc)
+            from tpu_joints.segment.voxel import region_growing_voxel
+
+            clusters = region_growing_voxel(
+                scene, normals, curvature,
+                leaf=cfg.rg_voxel_leaf or 2.0 * cfg.scene_ss,
+                grid=cfg.rg_voxel_grid,
+                smoothness_deg=cfg.rg_smoothness_deg,
+                curvature_threshold=cfg.rg_curvature,
+                min_cluster_size=cfg.rg_min_cluster,
+                pitch=cfg.rg_voxel_pitch,
+            )
+        elif cfg.rg_backend == "graph":
+            clusters = region_growing(
+                scene, normals, curvature,
+                k=min(30, cfg.normal_k),
+                smoothness_deg=cfg.rg_smoothness_deg,
+                curvature_threshold=cfg.rg_curvature,
+                min_cluster_size=cfg.rg_min_cluster,
+                max_edge=cfg.rg_max_edge,
+            )
+        else:
+            raise ValueError(f"unknown rg_backend {cfg.rg_backend!r}")
         keep = cluster_curvature_filter(
             clusters, curvature, scene.mask, cfg.cluster_max_curvature
         )
