@@ -115,6 +115,9 @@ def _run_preset(rng, preset, maker, **bank_extra):
         model_xyz, descriptor=cfg.descriptor, descr_radius=cfg.descr_rad,
         rf_radius=cfg.rf_rad, sampling_radius=cfg.model_ss,
         normal_k=cfg.normal_k, k_max=cfg.k_max,
+        # descriptor-space agreement: the fpfh_demo preset computes FPFH
+        # over the keypoint cloud (fpfh_surface="keys"); the bank must too
+        fpfh_surface=cfg.fpfh_surface, fpfh_k_max=cfg.fpfh_k_max,
         level=0, resolution=96, key_capacity=128, **bank_extra,
     )
     scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)

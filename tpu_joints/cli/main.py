@@ -150,6 +150,10 @@ def cmd_bank(args) -> None:
         sampling_radius=cfg.model_ss,
         normal_k=cfg.normal_k,
         k_max=cfg.k_max,
+        # the FPFH surface semantics are part of the descriptor SPACE:
+        # bank and scene must agree or nothing matches
+        fpfh_surface=cfg.fpfh_surface,
+        fpfh_k_max=cfg.fpfh_k_max,
         level=args.level,
         resolution=args.resolution,
         key_capacity=args.key_capacity,

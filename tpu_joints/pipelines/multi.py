@@ -270,8 +270,31 @@ def detect_parts_organized(
     part is ``part_names[int(res.view_idx) // views_per_part]`` and each
     candidate's part is ``res.cand_views // views_per_part``.
     """
+    names, cat = _cat_for_parts(banks)
+    cfg = _tier_cfg(cat, cfg)
+    res, n_sel = _organized_detect_parts_jit(
+        xyz_img, valid, cat, cfg, block, half_window, crop_lo, crop_hi,
+        viewpoint, len(names))
+    return names, res, n_sel
+
+
+# concatenated-bank cache keyed by the part banks' object identities: the
+# concat (11 device ops) and the shared-CAD equality check (a device→host
+# fetch — a full control-channel roundtrip under a remote TPU attachment,
+# ~30 ms) must run once per bank set, NOT once per frame. Identity, not
+# params_hash: two banks built from different part views share a hash
+# (views content isn't hashed). The cached entry holds the source banks,
+# which also pins their ids — a handful of entries per process.
+_CAT_CACHE: Dict[tuple, tuple] = {}
+
+
+def _cat_for_parts(banks: Dict[str, ModelBank]):
     import numpy as np
 
+    key = tuple((n, id(banks[n])) for n in banks)
+    hit = _CAT_CACHE.get(key)
+    if hit is not None:
+        return hit[:2]
     names, cat, _, _ = _concat_banks(banks)
     first = banks[names[0]]
     for n in names[1:]:
@@ -283,11 +306,8 @@ def detect_parts_organized(
                 "each part bank with the full joint as model_xyz and the "
                 "part's rendered views as views=/poses=. For per-part CAD "
                 "semantics use detect_parts.")
-    cfg = _tier_cfg(cat, cfg)
-    res, n_sel = _organized_detect_parts_jit(
-        xyz_img, valid, cat, cfg, block, half_window, crop_lo, crop_hi,
-        viewpoint, len(names))
-    return names, res, n_sel
+    _CAT_CACHE[key] = (names, cat, tuple(banks.values()))
+    return names, cat
 
 
 def detect_parts(
