@@ -75,6 +75,13 @@ def _run_preset(rng, preset, maker, **bank_extra):
         # half the synthetic joint at this density and wash out the
         # curvature signal the crop keys off — keep kNN normals here
         normal_radius=0.0,
+        # likewise the preset's keys-surface FPFH (the reference's sparse
+        # sensor-scale parameterization): over this synthetic cloud's
+        # ~170-key field it blurs the corner plates into the cylinders and
+        # a flip wins — keep the working-set surface at test density (the
+        # keys-surface space is exercised at full sensor scale by
+        # bench.py's fpfh section and pinned by test_descriptors)
+        fpfh_surface="cloud", fpfh_k_max=0,
         algorithm="gc" if preset == "fpfh_demo" else "hough",
         cg_size=0.05, cg_thresh=3.0, icp_iterations=20,
         # trim correspondences so the surviving table plane (a smooth
