@@ -56,6 +56,7 @@ def main():
     det_cfg = dataclasses.replace(cfg, segment_scene=False,
                                   remove_plane=False)
     gc_cfg = dataclasses.replace(det_cfg, algorithm="gc")
+    gc_tight = dataclasses.replace(gc_cfg, cg_size=0.02)
 
     def run(c):
         def f():
@@ -64,7 +65,8 @@ def main():
                                     crop_hi=crop_hi, fused=True)
         return f
 
-    for name, c in (("hough", det_cfg), ("gc", gc_cfg)):
+    for name, c in (("hough", det_cfg), ("gc", gc_cfg),
+                    ("gc.02", gc_tight)):
         ms, res = timed(run(c))
         rot, trans = bench._err(np.asarray(res.full_pose), T_pose)
         print(f"{name:6s}: {ms:7.2f} ms  accepted={bool(res.accepted)} "

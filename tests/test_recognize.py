@@ -132,6 +132,53 @@ def test_gc_recovers_pose(rng):
     np.testing.assert_allclose(T_est[:3, 3], T[:3, 3], atol=5e-3)
 
 
+def test_gc_spam_heavy_scene(rng):
+    """Full-sensor-scale failure mode (scripts/exp_gc_fullscale.py): when
+    spurious correspondences outnumber the rigid cluster ~10:1 under a
+    loose ``gc_size`` (3 cm on a ~1 m scene), random pairs agree often
+    enough that the largest CONSISTENT SET is a diffuse spam blob —
+    support-seeded grouping never extracts the true instance. The fixed
+    grouping seeds by descriptor-match quality (PCL's sorted walk) and
+    prunes by agreement relative to the strongest member, so the rigid
+    clique must win here."""
+    T = random_rigid(rng, t_scale=0.3)
+    R = T[:3, :3]
+    n_true, n_spam = 25, 280
+    model_keys = rng.uniform(-0.15, 0.15, (64, 3)).astype(np.float32)
+    true_scene = (model_keys[:n_true] @ R.T + T[:3, 3]).astype(np.float32)
+    spam_scene = rng.uniform(-0.5, 0.5, (n_spam, 3)).astype(np.float32)
+    scene = np.concatenate([true_scene, spam_scene])
+    model_idx = np.concatenate(
+        [np.arange(n_true), rng.integers(0, 64, n_spam)]).astype(np.int32)
+    # true matches carry the best descriptor distances, spam the worst —
+    # the property the quality-ordered seeding keys off (real pipelines
+    # get this for free from the match gate)
+    dist_sq = np.concatenate(
+        [np.full(n_true, 0.02, np.float32),
+         rng.uniform(0.05, 0.19, n_spam).astype(np.float32)])
+    corrs = Correspondences(
+        model_idx=jnp.asarray(model_idx),
+        valid=jnp.ones(n_true + n_spam, bool),
+        dist_sq=jnp.asarray(dist_sq),
+    )
+    inst = gc_group(
+        jnp.asarray(scene), jnp.asarray(model_keys),
+        jnp.ones(64, bool), corrs,
+        gc_size=0.03, gc_threshold=3.0, max_instances=8,
+    )
+    valid = np.asarray(inst.valid)
+    assert valid.any()
+    poses = np.asarray(inst.poses)
+    angs = [float(tr.rotation_geodesic_deg(jnp.asarray(T[:3, :3]),
+                                           jnp.asarray(poses[i][:3, :3])))
+            for i in range(len(valid)) if valid[i]]
+    ts = [np.linalg.norm(poses[i][:3, 3] - T[:3, 3])
+          for i in range(len(valid)) if valid[i]]
+    # the true instance must be among the extracted clusters (downstream
+    # ICP fitness ranking arbitrates between instances in the pipeline)
+    assert min(angs) < 1.0 and min(ts) < 5e-3, (angs, ts)
+
+
 def test_verify_hypotheses_picks_real_instance(rng):
     xyz, _ = joint_points(rng, n_chord=250, n_stub=150)
     scene = make_cloud(xyz, capacity=512)

@@ -378,6 +378,61 @@ def test_server_micro_batching_coalesces_frames(service):
         assert ang < 0.5 and np.linalg.norm(a[:3, 3] - b[:3, 3]) < 3e-3
 
 
+def test_server_mesh_sharded_batching_matches_single_device(service):
+    """Multi-chip serving: a ``mesh=`` service shards the batched dispatch's
+    frame axis over the mesh's ``data`` axis (8 virtual CPU devices here),
+    pads the batch to the axis size by repeating the last frame, and must
+    return the SAME responses as the single-device batched path — DP over
+    frames is pure replication, so any divergence is a sharding bug."""
+    import concurrent.futures
+
+    from tpu_joints.distributed.mesh import make_mesh
+    from tpu_joints.serve.depth import raycast_cylinders
+
+    a30 = np.radians(30.0)
+    cylinders = [
+        (np.zeros(3), np.array([1.0, 0.0, 0.0]), 0.08, 0.3),
+        (np.array([0.0, 0.0, 0.23]),
+         np.array([np.sin(a30), 0.0, np.cos(a30)]), 0.05, 0.15),
+    ]
+    frames = []
+    for ay_deg in (35.0, -15.0, 10.0):
+        ay = np.radians(ay_deg)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0],
+                              [-np.sin(ay), 0, np.cos(ay)]], np.float32)
+        T[:3, 3] = [0.02, -0.03, 1.0]
+        xyz_img = raycast_cylinders(cylinders, T, width=160, height=120)
+        frames.append(np.nan_to_num(xyz_img[..., 2]))
+
+    mesh = make_mesh()  # 8 CPU devices -> data=8, model=1
+    svc_m = DetectionService(service.bank, service.cfg, batch_max=4,
+                             batch_window_ms=30.0, mesh=mesh)
+    # 3 frames: exercises the pad-to-data-axis path (3 -> 8)
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        outs = list(ex.map(
+            lambda d: svc_m.detect_depth(d, near=0.05, far=5.0), frames))
+    assert svc_m.n_batched_frames == 3
+
+    svc_1 = DetectionService(service.bank, service.cfg, batch_max=4,
+                             batch_window_ms=0.0)
+    for i, out in enumerate(outs):
+        ref = svc_1.detect_depth(frames[i], near=0.05, far=5.0)
+        assert out["accepted"] == ref["accepted"]
+        assert out["view_idx"] == ref["view_idx"]
+        a, b = np.asarray(out["pose"]), np.asarray(ref["pose"])
+        Rd = a[:3, :3] @ b[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rd) - 1) / 2, -1, 1)))
+        assert ang < 0.5 and np.linalg.norm(a[:3, 3] - b[:3, 3]) < 3e-3
+
+
+def test_server_mesh_requires_batching(service):
+    from tpu_joints.distributed.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="batch_max"):
+        DetectionService(service.bank, service.cfg, mesh=make_mesh())
+
+
 def test_frame_batcher_error_delivery_and_pow2_padding():
     """Batcher unit contract: errors reach every waiter; partial batches
     pad to the next power of two; results map back to their frames."""

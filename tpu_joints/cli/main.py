@@ -452,8 +452,14 @@ def cmd_serve(args) -> None:
     if args.warm_depth:
         w, h = (int(v) for v in args.warm_depth.lower().split("x"))
         warm = (h, w)
+    mesh = None
+    if args.devices != 1:
+        from tpu_joints.distributed.mesh import make_mesh
+
+        mesh = make_mesh(None if args.devices == 0 else args.devices)
     serve_forever(load_bank(args.bank), cfg, host=args.host, port=args.port,
-                  grasp_offset=tuple(args.grasp_offset), warm_depth=warm)
+                  grasp_offset=tuple(args.grasp_offset), warm_depth=warm,
+                  batch_max=args.batch_max, mesh=mesh)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -559,6 +565,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pre-compile the fused depth-frame executable for "
                         "this sensor shape at startup (e.g. 640x480) - a "
                         "cold TPU compile takes minutes")
+    p.add_argument("--batch-max", dest="batch_max", type=int, default=1,
+                   help="micro-batch up to N concurrent depth frames into "
+                        "one dispatch (1 = streaming)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard batched dispatches over a device mesh: "
+                        "N devices (0 = all visible); needs --batch-max>1")
     _add_reference_flags(p)
     p.set_defaults(fn=cmd_serve)
 

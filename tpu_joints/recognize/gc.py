@@ -6,11 +6,29 @@ correspondences are consistent when the model-side and scene-side keypoint
 distances agree within ``gc_size``; clusters of mutually consistent
 correspondences of size ≥ ``gc_threshold`` become instances.
 
-PCL grows clusters sequentially (each candidate checked against the members
-added so far — an order-dependent greedy). Here the greedy is batched: seed
-= the unused correspondence with the largest consistent set; the cluster is
-seeded with everything consistent with the seed, then refined two rounds by
-keeping members consistent with ≥ 90% of the cluster (a relaxed clique).
+PCL grows clusters sequentially in *match-quality order* (correspondences
+sorted by descriptor distance; each candidate checked against the members
+added so far — a strict order-dependent clique walk). Here the greedy is
+batched but keeps both spam defenses PCL gets from that walk:
+
+* **Seeding by match quality, not support.** At full sensor scale the
+  ±``gc_size`` distance-agreement relation is loose (3 cm on a ~1 m crop):
+  random spurious correspondences agree pairwise ~10–20% of the time, so
+  the largest *consistent set* belongs to a diffuse spam blob, not the
+  rigid instance (measured on the 640×480 bench frame — support-seeded GC
+  never extracted the true cluster). The seed is instead the unused
+  correspondence with the smallest descriptor distance among those with
+  enough support — the batched analog of PCL's sorted iteration, and true
+  matches have the best descriptor distances.
+* **Agreement pruning relative to the strongest member, not the cluster
+  size.** The seeded set is majority-spam at scale (true cluster ~tens,
+  plus ~15% of everything else), so "agree with ≥ 90% of the cluster"
+  prunes the TRUE members along with the spam. True members mutually
+  agree (~n_true each) while spam agrees with ~15% of the membership, so
+  keeping members above half the *maximum* agreement separates the rigid
+  clique from the blob regardless of how much spam the seed attracted;
+  iterating tightens the threshold as the blob drains.
+
 On rigid data the consistency relation is transitive up to noise, so this
 converges to the same clusters as PCL's sequential walk.
 """
@@ -25,8 +43,8 @@ from tpu_joints.core.transforms import umeyama
 from tpu_joints.recognize.hough import Instances
 from tpu_joints.recognize.matching import Correspondences
 
-_REFINE_ROUNDS = 2
-_KEEP_FRACTION = 0.9
+_REFINE_ROUNDS = 3
+_KEEP_FRACTION = 0.5  # of the strongest member's agreement count
 
 
 @functools.partial(
@@ -44,6 +62,7 @@ def gc_group(
     M = scene_keys.shape[0]
     mi = corrs.model_idx
     cvalid = corrs.valid & model_mask[mi]
+    corr_dist = jnp.where(cvalid, corrs.dist_sq, jnp.inf)
 
     sp = scene_keys  # [M, 3] scene keypoint of each correspondence
     mp = model_keys[mi]  # [M, 3] matched model keypoint
@@ -59,15 +78,19 @@ def gc_group(
         used = carry
         avail = cvalid & jnp.logical_not(used)
         support = jnp.sum((consistent & avail[None, :]).astype(jnp.int32), axis=1)
-        support = jnp.where(avail, support, -1)
-        seed = jnp.argmax(support)
+        # seed = best descriptor match among still-available correspondences
+        # whose consistent set could clear the threshold (PCL's sorted walk)
+        qualified = avail & (support >= gc_threshold)
+        seed_score = jnp.where(qualified, -corr_dist, -jnp.inf)
+        seed = jnp.argmax(seed_score)
         members = consistent[seed] & avail
         for _ in range(_REFINE_ROUNDS):
-            size = jnp.maximum(jnp.sum(members.astype(jnp.float32)), 1.0)
             agree = jnp.sum((consistent & members[None, :]).astype(jnp.float32), axis=1)
-            members = members & (agree >= _KEEP_FRACTION * size)
+            agree = jnp.where(members, agree, 0.0)
+            peak = jnp.maximum(jnp.max(agree), 1.0)
+            members = members & (agree >= _KEEP_FRACTION * peak)
         n = jnp.sum(members.astype(jnp.int32))
-        ok = (n >= gc_threshold) & (support[seed] > 0)
+        ok = (n >= gc_threshold) & qualified[seed]
         # consume the attempt even when the cluster collapses below the
         # threshold (ok=False): otherwise `used` never grows and every
         # remaining scan slot re-picks the same failed seed — on

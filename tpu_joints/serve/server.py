@@ -112,9 +112,27 @@ class DetectionService:
         retry_backoff_s: float = 0.1,
         batch_max: int = 1,
         batch_window_ms: float = 4.0,
+        mesh=None,
     ):
         self.bank = bank
         self.cfg = cfg
+        # multi-chip serving: under a jax.sharding.Mesh the batched
+        # dispatch shards its frame axis over the mesh's ``data`` axis
+        # (each chip runs the full fused pipeline on its shard — zero
+        # collectives; the reference's scene loop `SHOT_scenes.cpp:204-208`
+        # scaled by running longer, this scales by running wider). The
+        # bank is replicated once at construction, not per request.
+        self.mesh = mesh
+        self._mesh_bank = None
+        if mesh is not None:
+            if batch_max < 2:
+                raise ValueError("mesh serving needs batch_max >= 2 "
+                                 "(the data axis shards the batch)")
+            import jax
+
+            from tpu_joints.distributed.mesh import replicated
+
+            self._mesh_bank = jax.device_put(bank, replicated(mesh))
         self.grasp_offset = np.asarray(grasp_offset, np.float32)
         self._lock = threading.Lock()
         self._slots = threading.BoundedSemaphore(max_pending)
@@ -234,14 +252,36 @@ class DetectionService:
             batcher = self._batchers.get(key)
             if batcher is None:
                 def run_batch(imgs, vms, _block=block):
+                    import jax
                     import jax.numpy as jnp
 
                     from tpu_joints.pipelines.detect import (
                         detect_organized_batch)
 
+                    bank = self.bank
+                    n_pad = 0
+                    if self.mesh is not None:
+                        from tpu_joints.distributed.mesh import (
+                            DATA_AXIS, scene_sharding)
+
+                        # the frame axis must divide the data axis: pad by
+                        # repeating the last frame (results sliced below —
+                        # FrameBatcher only reads indices < its own count)
+                        d = self.mesh.shape[DATA_AXIS]
+                        n_pad = (-imgs.shape[0]) % d
+                        if n_pad:
+                            imgs = np.concatenate(
+                                [imgs, np.repeat(imgs[-1:], n_pad, 0)])
+                            vms = np.concatenate(
+                                [vms, np.repeat(vms[-1:], n_pad, 0)])
+                        sh = scene_sharding(self.mesh)
+                        imgs = jax.device_put(jnp.asarray(imgs), sh)
+                        vms = jax.device_put(jnp.asarray(vms), sh)
+                        bank = self._mesh_bank
+
                     def go():
                         res, _ = detect_organized_batch(
-                            jnp.asarray(imgs), jnp.asarray(vms), self.bank,
+                            jnp.asarray(imgs), jnp.asarray(vms), bank,
                             self.cfg, block=_block, half_window=5)
                         return res
 
@@ -426,6 +466,8 @@ def make_server(
                 self._send(200, {
                     "status": "ok",
                     "device": str(jax.devices()[0]),
+                    "devices": (int(service.mesh.devices.size)
+                                if service.mesh is not None else 1),
                     "requests": service.n_requests,
                     "errors": service.n_errors,
                     "rejected": service.n_rejected,
@@ -470,10 +512,15 @@ def serve_forever(
     port: int = 8337,
     grasp_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     warm_depth=None,
+    batch_max: int = 1,
+    mesh=None,
 ) -> None:
-    service = DetectionService(bank, cfg, grasp_offset)
+    service = DetectionService(bank, cfg, grasp_offset,
+                               batch_max=batch_max, mesh=mesh)
     service.warmup(depth_shape=warm_depth)
     server = make_server(service, host, port)
+    n_dev = mesh.devices.size if mesh is not None else 1
     print(f"tpu_joints detection server on http://{host}:{port} "
-          f"(bank: {bank.n_views} views)")
+          f"(bank: {bank.n_views} views, {n_dev} device(s), "
+          f"batch_max={service.batch_max})")
     server.serve_forever()
