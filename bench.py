@@ -146,9 +146,19 @@ def _make_config():
         # the full-CAD ranking picks it out of the wider field for a few
         # ms of extra folded-row ICP work
         max_candidates=16,
-        # one peak per view: a spam view otherwise floods the ranked
-        # pool with two high-vote flips, pushing the true pose out
-        max_instances_per_view=1,
+        # TWO rotation modes per view (top Hough peak split into its true
+        # and 180°-flipped match clusters — they share the translation
+        # bin, so on ~2/4 noise draws the flip owned the per-bin Umeyama
+        # and the true pose was absent from the WHOLE candidate field;
+        # the coverage ranking can only save what is present), cut grouped
+        # by view (top 8 views × both modes). View grouping keeps spam
+        # views from flooding the cut (the old failure mode that forced
+        # P=1): each admitted view costs exactly P slots and views rank by
+        # their best bin. ICP candidate count (16) and every Pallas shape
+        # unchanged.
+        max_instances_per_view=2,
+        view_grouped_candidates=True,
+        split_rotation_modes=True,
         # two-tier refinement: all 16 candidates ICP'd + ranked at 512
         # rows, then the full 2048-row polish + dense coverage on the top
         # 4 — ~4× less NN distance work on the latency-dominant stage

@@ -132,7 +132,60 @@ def test_gc_recovers_pose(rng):
     np.testing.assert_allclose(T_est[:3, 3], T[:3, 3], atol=5e-3)
 
 
-def test_gc_spam_heavy_scene(rng):
+def test_hough_rotation_mode_split_recovers_flip_dominated_pose(rng):
+    """Symmetric-part failure mode: true and 180°-flipped matches vote for
+    the SAME centroid bin (a flip about an axis through the centroid
+    preserves it), so the per-bin Umeyama follows the dominant mode — when
+    flip matches carry more weight, the true pose vanishes from the
+    instance list. ``split_rotation_modes`` must emit BOTH rotation modes
+    of the top bin so downstream ranking can arbitrate."""
+    T = random_rigid(rng, t_scale=0.4)
+    R = T[:3, :3]
+    n = 30
+    # symmetric "object": keypoint m has partner S(m), S = 180° about z
+    # through the centroid; the LRF field co-rotates with the symmetry
+    S = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+    base = rng.uniform(-0.15, 0.15, (n, 3)).astype(np.float32)
+    model_keys = np.concatenate([base, base @ S.T])           # [2n, 3]
+    base_rf = np.stack([random_rotation(rng) for _ in range(n)])
+    model_rf = np.concatenate([base_rf, base_rf @ S.T]).astype(np.float32)
+
+    scene_keys = (model_keys[:n] @ R.T + T[:3, 3]).astype(np.float32)
+    scene_rf = np.einsum("mij,kj->mik", base_rf, R).astype(np.float32)
+
+    # every scene point gets TWO correspondences: the true one (weaker)
+    # and the flip partner (stronger descriptor match) — flip dominates
+    sk = np.concatenate([scene_keys, scene_keys])
+    srf = np.concatenate([scene_rf, scene_rf])
+    model_idx = np.concatenate([np.arange(n), np.arange(n, 2 * n)])
+    dist_sq = np.concatenate([np.full(n, 0.15, np.float32),
+                              np.full(n, 0.01, np.float32)])
+    corrs = Correspondences(
+        model_idx=jnp.asarray(model_idx.astype(np.int32)),
+        valid=jnp.ones(2 * n, bool),
+        dist_sq=jnp.asarray(dist_sq),
+    )
+
+    def run(split):
+        return hough_group(
+            jnp.asarray(sk), jnp.asarray(srf), jnp.ones(2 * n, bool),
+            jnp.asarray(model_keys), jnp.asarray(model_rf),
+            jnp.ones(2 * n, bool), jnp.ones(2 * n, bool), corrs,
+            bin_size=0.03, threshold=3.0, max_instances=2,
+            split_rotation_modes=split,
+        )
+
+    def best_rot_err(inst):
+        valid = np.asarray(inst.valid)
+        errs = [float(tr.rotation_geodesic_deg(
+            jnp.asarray(T[:3, :3]), jnp.asarray(p[:3, :3])))
+            for p, v in zip(np.asarray(inst.poses), valid) if v]
+        return min(errs) if errs else 1e9
+
+    # without the split the flip-dominated bin swallows the true pose
+    assert best_rot_err(run(False)) > 90.0
+    # with it, one emitted mode is the true pose
+    assert best_rot_err(run(True)) < 1.0
     """Full-sensor-scale failure mode (scripts/exp_gc_fullscale.py): when
     spurious correspondences outnumber the rigid cluster ~10:1 under a
     loose ``gc_size`` (3 cm on a ~1 m scene), random pairs agree often

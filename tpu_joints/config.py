@@ -76,6 +76,25 @@ class DetectionConfig:
     cg_thresh: float = 3.0            # SHOT.cpp:54
     use_distance_weight: bool = True  # SHOT.cpp:460
     max_instances_per_view: int = 4
+    # candidate cut groups by VIEW: pick the top (max_candidates /
+    # max_instances_per_view) views by their strongest bin's votes, then
+    # admit ALL bins of each selected view. A pure vote-ranked cut is
+    # flip-blind — on near-symmetric parts the 180°-flipped bin of the
+    # correct view can out-vote the true bin under sensor noise, and with
+    # spam views contributing their own high-vote bins the true pose falls
+    # out of the cut entirely (measured: 2/4 bench noise draws). The
+    # correct VIEW always ranks high (the flip's votes are its votes), so
+    # grouping guarantees the true bin enters the field for the
+    # coverage-dominant ranking to arbitrate. Needs max_instances_per_view
+    # > 1 to matter; off keeps the strict vote-ranked cut.
+    view_grouped_candidates: bool = False
+    # Hough instances split each translation peak into its two ROTATION
+    # modes (true vs 180°-flipped matches share the bin — a flip preserves
+    # the voted centroid — and the per-bin Umeyama otherwise follows
+    # whichever mode dominates the noise draw). Needs even
+    # max_instances_per_view; pairs naturally with
+    # view_grouped_candidates. See recognize.hough.hough_group.
+    split_rotation_modes: bool = False
     # refinement
     icp_iterations: int = 30          # SHOT.cpp icp_align: 100 iters; 30 suffices with exact NN
     icp_max_corr_dist: float = 3.0e38 # SHOT_hypothesis.cpp:511 uses 0.001

@@ -360,6 +360,7 @@ def _group_views_arrays(
                 bin_size=cfg.cg_size, threshold=cfg.cg_thresh,
                 max_instances=cfg.max_instances_per_view,
                 use_distance_weight=cfg.use_distance_weight,
+                split_rotation_modes=cfg.split_rotation_modes,
             )
     elif cfg.algorithm == "gc":
         def per_view(mk, mrf, mvalid, c):
@@ -578,7 +579,19 @@ def refine_instances(
     Cp = min(cfg.max_candidates, Vp * P)   # candidates PER PART
     C = n_parts * Cp
     votes = jnp.where(inst.valid, inst.votes, -1.0).reshape(n_parts, Vp * P)
-    top_votes, top_local = jax.lax.top_k(votes, Cp)     # [n_parts, Cp]
+    if cfg.view_grouped_candidates and P > 1 and Cp % P == 0:
+        # view-grouped cut (see config.view_grouped_candidates): strongest
+        # bin selects the view, ALL its bins enter — the flipped bin of
+        # the correct view carries the true bin into the field
+        Kv = Cp // P
+        strength = votes.reshape(n_parts, Vp, P).max(axis=2)   # [n_parts, Vp]
+        _, top_views = jax.lax.top_k(strength, Kv)             # [n_parts, Kv]
+        top_local = (top_views[:, :, None] * P
+                     + jnp.arange(P, dtype=top_views.dtype)
+                     ).reshape(n_parts, Cp)
+        top_votes = jnp.take_along_axis(votes, top_local, axis=1)
+    else:
+        top_votes, top_local = jax.lax.top_k(votes, Cp)  # [n_parts, Cp]
     top_flat = (top_local + (Vp * P) * jnp.arange(
         n_parts, dtype=top_local.dtype)[:, None]).reshape(C)
     top_votes = top_votes.reshape(C)

@@ -61,9 +61,15 @@ def model_local_votes(
     return jnp.einsum("mij,mj->mi", model_rf, off)  # local coords (rf rows = axes)
 
 
+# rotation-mode split: members farther than 90° (geodesic) from the
+# peak's strongest member are the opposite mode
+_MODE_COS = 0.0
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("bin_size", "threshold", "max_instances", "use_distance_weight"),
+    static_argnames=("bin_size", "threshold", "max_instances",
+                     "use_distance_weight", "split_rotation_modes"),
 )
 def hough_group(
     scene_keys: jnp.ndarray,
@@ -78,11 +84,26 @@ def hough_group(
     threshold: float = 3.0,
     max_instances: int = 8,
     use_distance_weight: bool = True,
+    split_rotation_modes: bool = False,
 ) -> Instances:
     """Group correspondences into rigid-instance hypotheses.
 
     Args mirror PCL: scene/model keypoints with their LRFs, plus the
     descriptor correspondences (scene → model).
+
+    ``split_rotation_modes`` (needs even ``max_instances``): Hough votes
+    live in TRANSLATION space — the predicted model-centroid location —
+    so on a near-symmetric part the true matches and the 180°-flipped
+    matches cast into the SAME bin (a flip preserves the centroid), and
+    the per-bin Umeyama follows whichever mode dominates that noise draw
+    (measured: 2/4 bench draws converge flipped with the true pose absent
+    from the whole candidate field). Each correspondence also implies a
+    full ROTATION hypothesis (scene LRF vs matched model LRF); true and
+    flipped matches form two tight rotation clusters ~180° apart. With
+    the split on, the top ``max_instances/2`` bins each emit TWO
+    instances — the members within 90° of the bin's strongest member,
+    and the rest — so both modes reach the downstream coverage ranking,
+    which is exactly the discriminator built to arbitrate flips.
     """
     M = scene_keys.shape[0]
     mi = corrs.model_idx
@@ -126,10 +147,34 @@ def hough_group(
     )
     is_peak = (acc3 >= pooled) & (acc3 >= threshold)
     peak_score = jnp.where(is_peak, acc3, -1.0).reshape(-1)
-    top_votes, top_bins = jax.lax.top_k(peak_score, max_instances)
-    inst_valid = top_votes >= threshold
+    split = split_rotation_modes and max_instances % 2 == 0
+    n_peaks = max_instances // 2 if split else max_instances
+    top_votes, top_bins = jax.lax.top_k(peak_score, n_peaks)
 
-    membership = (flat[None, :] == top_bins[:, None]) & cvalid[None, :]  # [P, M]
+    membership = (flat[None, :] == top_bins[:, None]) & cvalid[None, :]  # [Pk, M]
+
+    if split:
+        # per-correspondence rotation hypothesis: rf rows are axes, so
+        # scene_rf = model_rf · Rᵀ  ⇒  R = scene_rfᵀ · model_rf
+        R_corr = jnp.einsum("mts,mtk->msk", scene_rf, model_rf[mi])
+
+        def modes(mem):
+            ww = mem.astype(jnp.float32) * w
+            anchor = jnp.argmax(ww)
+            cosang = (jnp.einsum("mij,ij->m", R_corr, R_corr[anchor])
+                      - 1.0) / 2.0
+            agree = cosang > _MODE_COS
+            return mem & agree, mem & jnp.logical_not(agree)
+
+        m1, m2 = jax.vmap(modes)(membership)
+        # interleave [peak0·mode0, peak0·mode1, peak1·mode0, ...] so the
+        # per-view instance table stays vote-descending-ish per peak
+        membership = jnp.stack([m1, m2], axis=1).reshape(
+            2 * n_peaks, membership.shape[1])
+        # per-mode vote mass (the bin total belongs to both modes jointly)
+        top_votes = jnp.sum(membership.astype(jnp.float32) * w[None, :],
+                            axis=1)
+    inst_valid = top_votes >= threshold
     n_corrs = jnp.sum(membership.astype(jnp.int32), axis=1)
 
     def fit(mem):
