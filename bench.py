@@ -59,7 +59,8 @@ TARGET_MS = 50.0
 # script itself; headline numbers come from the full-size TPU run.
 SMALL = os.environ.get("BENCH_SMALL") == "1"
 # Optional single-section runs for profiling; the default runs everything.
-# BENCH_ONLY=latency|segment|two_part|throughput|batch|descriptors|fpfh|sweep
+# BENCH_ONLY=latency|segment|two_part|throughput|batch|device|descriptors|
+#            fpfh|sweep|instances
 ONLY = os.environ.get("BENCH_ONLY", "")
 
 
@@ -855,8 +856,16 @@ def main():
         # true-vs-flip contrast is preserved.
         from tpu_joints.pipelines.detect import good_instances
 
-        T_a = _pose(25.0, -15.0, [-0.30, -0.02, 1.30])
-        T_b = _pose(-20.0, 20.0, [0.30, 0.06, 1.28])
+        # both instances at the sensor range every other bench scene uses
+        # (z ≈ 1.0 m): at z = 1.3 m the surface density halves and SHOT
+        # loses the cylinder's rotational phase — every view's matches
+        # lock onto one consistent wrong phase, the Hough bins stay
+        # translation-perfect (3–8 mm) but every fitted rotation is
+        # 50–180° off, and no grouping/ranking stage can recover
+        # information the descriptors never carried
+        # (scripts/debug_multi_instance.py measured exactly this).
+        T_a = _pose(25.0, -15.0, [-0.26, -0.02, 1.05])
+        T_b = _pose(-20.0, 20.0, [0.28, 0.06, 1.00])
         cyls2 = []
         for T in (T_a, T_b):
             for c0, a0, r0, h0 in _CYLINDERS:
@@ -867,7 +876,11 @@ def main():
         multi_cfg = dataclasses.replace(
             det_cfg,
             coverage_accept=0.0,
-            max_instances_per_view=2,
+            # TWO physical instances need TWO translation peaks per view;
+            # with split_rotation_modes each peak emits its two rotation
+            # modes -> 4 instances/view (the view-grouped cut then keeps
+            # the top 4 views x 4, enough for both joints' best views)
+            max_instances_per_view=4,
             max_candidates=16,
             refine_top=6,                 # acceptance-grade budget ≥ 2
             scene_capacity=4096 if SMALL else 8192,

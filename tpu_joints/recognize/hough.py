@@ -62,8 +62,18 @@ def model_local_votes(
 
 
 # rotation-mode split: members farther than 90° (geodesic) from the
-# peak's strongest member are the opposite mode
+# mode's anchor are the opposite mode
 _MODE_COS = 0.0
+# consensus mode extraction: K top-weighted members tried as rotation
+# anchors; the winning anchor's ~45° cone defines the mode. A single
+# argmax anchor with a 90° cone blends rotation-phase-aliased matches —
+# on a cylinder, wrong-phase matches still vote into the correct centroid
+# bin (the centroid sits ON the axis), so the bin's members span a
+# continuous phase smear and the Umeyama over them returns a 50–180°-off
+# rotation (measured: the full-scale two-instance scene had 3–8 mm
+# translation inits everywhere and NO rotation within ICP's basin).
+_N_ANCHORS = 8
+_CONE_COS = 0.7  # ≈ 45.6° geodesic
 
 
 @functools.partial(
@@ -101,9 +111,13 @@ def hough_group(
     full ROTATION hypothesis (scene LRF vs matched model LRF); true and
     flipped matches form two tight rotation clusters ~180° apart. With
     the split on, the top ``max_instances/2`` bins each emit TWO
-    instances — the members within 90° of the bin's strongest member,
-    and the rest — so both modes reach the downstream coverage ranking,
-    which is exactly the discriminator built to arbitrate flips.
+    instances — the best consensus rotation cluster (K anchor candidates,
+    ~45° cone — see ``_N_ANCHORS``/``_CONE_COS``) and the best cluster of
+    the opposite hemisphere — so both modes reach the downstream coverage
+    ranking, which is exactly the discriminator built to arbitrate flips.
+    Members in neither cone (rotation-phase-aliased cylinder matches) are
+    excluded from the per-mode Umeyama, which is what keeps the fitted
+    rotations inside ICP's convergence basin.
     """
     M = scene_keys.shape[0]
     mi = corrs.model_idx
@@ -141,10 +155,18 @@ def hough_group(
     acc = jnp.zeros((GRID * GRID * GRID,), jnp.float32).at[flat].add(w)
     acc3 = acc.reshape(GRID, GRID, GRID)
 
-    # non-max suppression over the 3³ neighborhood
-    pooled = jax.lax.reduce_window(
-        acc3, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
-    )
+    # non-max suppression over the 3³ neighborhood. Max is associative, so
+    # the 27-tap window separates into three 1-D 3-tap passes — identical
+    # values, ~9× less HBM traffic than the naive lowering (per view the
+    # accumulator is 1 MB; vmapped over 42–84 views this is the grouping
+    # stage's dominant memory stream).
+    pooled = acc3
+    for axis in range(3):
+        win = [1, 1, 1]
+        win[axis] = 3
+        pooled = jax.lax.reduce_window(
+            pooled, -jnp.inf, jax.lax.max, tuple(win), (1, 1, 1), "SAME"
+        )
     is_peak = (acc3 >= pooled) & (acc3 >= threshold)
     peak_score = jnp.where(is_peak, acc3, -1.0).reshape(-1)
     split = split_rotation_modes and max_instances % 2 == 0
@@ -158,13 +180,30 @@ def hough_group(
         # scene_rf = model_rf · Rᵀ  ⇒  R = scene_rfᵀ · model_rf
         R_corr = jnp.einsum("mts,mtk->msk", scene_rf, model_rf[mi])
 
-        def modes(mem):
+        def consensus(mem):
+            """Best rotation-coherent subset of ``mem``: K top-weighted
+            members tried as anchors, each claiming the members within a
+            ~45° geodesic cone of its own rotation hypothesis; the anchor
+            with the most weighted agreement wins. Returns (cone members,
+            cos-to-winning-anchor)."""
             ww = mem.astype(jnp.float32) * w
-            anchor = jnp.argmax(ww)
-            cosang = (jnp.einsum("mij,ij->m", R_corr, R_corr[anchor])
-                      - 1.0) / 2.0
-            agree = cosang > _MODE_COS
-            return mem & agree, mem & jnp.logical_not(agree)
+            _, anchors = jax.lax.top_k(ww, _N_ANCHORS)          # [K]
+            cosang = (jnp.einsum("kij,mij->km", R_corr[anchors], R_corr)
+                      - 1.0) / 2.0                               # [K, M]
+            agree = (cosang > _CONE_COS) & mem[None, :]
+            score = jnp.sum(agree.astype(jnp.float32) * w[None, :], axis=1)
+            # a padded anchor (ww==0 ⇒ an invalid member) must not win
+            score = jnp.where(ww[anchors] > 0.0, score, -1.0)
+            best = jnp.argmax(score)
+            return agree[best], cosang[best]
+
+        def modes(mem):
+            m1, cos1 = consensus(mem)
+            # mode 2: the rotation-coherent core of the OPPOSITE side
+            # (> 90° from mode 1's anchor) — for a near-symmetric part
+            # that is the 180°-flipped match cluster
+            m2, _ = consensus(mem & (cos1 <= _MODE_COS))
+            return m1, m2
 
         m1, m2 = jax.vmap(modes)(membership)
         # interleave [peak0·mode0, peak0·mode1, peak1·mode0, ...] so the
