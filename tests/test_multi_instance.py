@@ -123,6 +123,53 @@ def test_two_instances_two_tier(rng):
     assert len(inst1) <= 1, f"tier-1 poses must not be reported: {inst1}"
 
 
+def test_peak_grouped_cut_two_instances(rng):
+    """Peak-grouped candidate cut (config.peak_grouped_candidates): with
+    split rotation modes and 2 peaks/view (P=4), the cut ranks
+    (view, peak) pairs globally so each physical instance's peaks compete
+    on their own votes — both instances must be reported. With P=2 (one
+    peak per view) the peak cut is BY CONSTRUCTION identical to the
+    view-grouped cut; assert the equivalence on the same scene."""
+    import dataclasses
+
+    model_xyz, _ = knobby_joint_points(rng, n_chord=900, n_stub=500,
+                                       n_knob=150, jitter=0.0)
+    T_a = _pose(7, [-0.35, 0.0, 0.0])
+    T_b = _pose(11, [0.35, 0.05, -0.05])
+    scene_xyz = np.concatenate([
+        model_xyz @ T_a[:3, :3].T + T_a[:3, 3],
+        model_xyz @ T_b[:3, :3].T + T_b[:3, 3],
+    ])
+    bank = build_bank(
+        model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
+        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
+        level=0, resolution=96, key_capacity=192,
+    )
+    scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
+
+    cfg_pk = dataclasses.replace(
+        CFG, split_rotation_modes=True, peak_grouped_candidates=True,
+        max_instances_per_view=4, refine_top=4, final_icp_iterations=6)
+    res = detect(scene, bank, cfg_pk)
+    assert bool(res.accepted)
+    inst = good_instances(res, cfg_pk, min_separation=0.2)
+    assert len(inst) == 2, f"expected 2 instances, got {len(inst)}: {inst}"
+    t_list = sorted(float(k["pose"][0, 3]) for k in inst)
+    np.testing.assert_allclose(t_list, [-0.35, 0.35], atol=0.01)
+
+    # P=2 equivalence: one peak per view → peak pairs ARE views
+    base = dict(split_rotation_modes=True, max_instances_per_view=2,
+                max_candidates=8)
+    res_v = detect(scene, bank, dataclasses.replace(
+        CFG, view_grouped_candidates=True, **base))
+    res_p = detect(scene, bank, dataclasses.replace(
+        CFG, peak_grouped_candidates=True, **base))
+    np.testing.assert_array_equal(np.asarray(res_v.cand_views),
+                                  np.asarray(res_p.cand_views))
+    np.testing.assert_allclose(np.asarray(res_v.full_pose),
+                               np.asarray(res_p.full_pose), atol=1e-6)
+
+
 def test_two_instances_with_hv(rng):
     """GO-HV over the multi-instance candidate field (the reference's exact
     regime, SHOT_hypothesis.cpp:632-651): the jointly-optimal subset keeps

@@ -88,6 +88,22 @@ class DetectionConfig:
     # coverage-dominant ranking to arbitrate. Needs max_instances_per_view
     # > 1 to matter; off keeps the strict vote-ranked cut.
     view_grouped_candidates: bool = False
+    # candidate cut groups by PEAK instead: under split_rotation_modes the
+    # instance table interleaves [peak0·mode0, peak0·mode1, peak1·mode0, …]
+    # per view, so adjacent row PAIRS are the two rotation modes of ONE
+    # translation peak. This cut ranks all (view, peak) pairs globally by
+    # the pair's strongest mode and admits BOTH modes of each kept pair —
+    # the same flip guarantee as view grouping (true and flipped matches
+    # share the translation bin, so the pair ranks by their joint vote
+    # mass) but instance-aware: in a multi-object scene each physical
+    # instance's peaks compete on their own votes rather than through
+    # whichever view happens to see both (the view-grouped cut kept only
+    # max_candidates/P views and a vote-rich instance starved the other
+    # out of the field — measured on the two-instance bench scene). With
+    # max_instances_per_view == 2 (one peak × two modes per view) this is
+    # identical to view grouping. Takes precedence over
+    # view_grouped_candidates; needs split_rotation_modes row layout.
+    peak_grouped_candidates: bool = False
     # Hough instances split each translation peak into its two ROTATION
     # modes (true vs 180°-flipped matches share the bin — a flip preserves
     # the voted centroid — and the per-bin Umeyama otherwise follows

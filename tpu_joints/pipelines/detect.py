@@ -579,7 +579,20 @@ def refine_instances(
     Cp = min(cfg.max_candidates, Vp * P)   # candidates PER PART
     C = n_parts * Cp
     votes = jnp.where(inst.valid, inst.votes, -1.0).reshape(n_parts, Vp * P)
-    if cfg.view_grouped_candidates and P > 1 and Cp % P == 0:
+    if (cfg.peak_grouped_candidates and cfg.split_rotation_modes
+            and P % 2 == 0 and Cp % 2 == 0):
+        # peak-grouped cut (see config.peak_grouped_candidates): adjacent
+        # row pairs are one translation peak's two rotation modes
+        # (recognize.hough.hough_group interleaves them); rank all
+        # (view, peak) pairs globally, admit both modes of the top Cp/2
+        Kp = Cp // 2
+        strength = votes.reshape(n_parts, Vp * P // 2, 2).max(axis=2)
+        _, top_pairs = jax.lax.top_k(strength, Kp)             # [n_parts, Kp]
+        top_local = (top_pairs[:, :, None] * 2
+                     + jnp.arange(2, dtype=top_pairs.dtype)
+                     ).reshape(n_parts, Cp)
+        top_votes = jnp.take_along_axis(votes, top_local, axis=1)
+    elif cfg.view_grouped_candidates and P > 1 and Cp % P == 0:
         # view-grouped cut (see config.view_grouped_candidates): strongest
         # bin selects the view, ALL its bins enter — the flipped bin of
         # the correct view carries the true bin into the field
