@@ -856,16 +856,20 @@ def main():
         # true-vs-flip contrast is preserved.
         from tpu_joints.pipelines.detect import good_instances
 
-        # both instances at the sensor range every other bench scene uses
-        # (z ≈ 1.0 m): at z = 1.3 m the surface density halves and SHOT
-        # loses the cylinder's rotational phase — every view's matches
-        # lock onto one consistent wrong phase, the Hough bins stay
-        # translation-perfect (3–8 mm) but every fitted rotation is
-        # 50–180° off, and no grouping/ranking stage can recover
-        # information the descriptors never carried
-        # (scripts/debug_multi_instance.py measured exactly this).
-        T_a = _pose(25.0, -15.0, [-0.26, -0.02, 1.05])
-        T_b = _pose(-20.0, 20.0, [0.28, 0.06, 1.00])
+        # SEPARATED instances (round-5 root cause of the r4 rc=1): the
+        # r4 poses ([-0.26,-0.02,1.05] / [0.28,0.06,1.00] at these
+        # rotations) made the two chords meet tip-to-tip — measured MIN
+        # SURFACE GAP 0.000 m, 24% of joint a within 0.2 m of joint b —
+        # i.e. one interpenetrating tube sculpture, not a two-instance
+        # scene. Descriptors whose 60 mm support straddles both surfaces
+        # lose the rotational phase (every Hough init was 50–180° off)
+        # and the 0.2 m ICP basin slid candidates into the junction. The
+        # reference's multi-object scenes are SEPARATE objects on a bench
+        # (Results/*.png); these poses keep a 0.25 m surface gap with
+        # single-frame-grade visibility per joint (~34k px, >2.2k stub px
+        # each vs 37k/2.8k single).
+        T_a = _pose(25.0, -15.0, [-0.30, -0.16, 1.05])
+        T_b = _pose(-20.0, 20.0, [0.30, 0.18, 1.00])
         cyls2 = []
         for T in (T_a, T_b):
             for c0, a0, r0, h0 in _CYLINDERS:
@@ -878,9 +882,13 @@ def main():
             coverage_accept=0.0,
             # TWO physical instances need TWO translation peaks per view;
             # with split_rotation_modes each peak emits its two rotation
-            # modes -> 4 instances/view (the view-grouped cut then keeps
-            # the top 4 views x 4, enough for both joints' best views)
+            # modes -> 4 instances/view. The cut is PEAK-grouped (top 8
+            # (view, peak) pairs x both modes): the r4 view-grouped cut
+            # kept only 4 whole views and the vote-richer joint starved
+            # the other out of the field (debug_multi_instance.py: kept
+            # views [2,16,17,18], all a-dominated).
             max_instances_per_view=4,
+            peak_grouped_candidates=True,
             max_candidates=16,
             refine_top=6,                 # acceptance-grade budget ≥ 2
             scene_capacity=4096 if SMALL else 8192,
@@ -924,6 +932,54 @@ def main():
                       f"b={eb[0]:6.1f}/{eb[1]*1000:6.1f}", file=sys.stderr)
         assert instances_ok or SMALL, (
             f"multi-instance failure: {len(inst)} instances, {inst_errs}")
+
+        # GO-HV ON, same scene (SHOT_hypothesis.cpp:632-651): the global
+        # hypothesis verification arbitrates the registered candidate
+        # field jointly — the GOOD verdicts must still cover both joints
+        # and nothing spurious. Timed against the HV-off run above so the
+        # artifact records HV's full-scale latency cost.
+        def run_multi(cfg_m):
+            r, n = detect_organized(
+                jnp.asarray(img2_h), jnp.asarray(v2_h), bank, cfg_m,
+                block=block, half_window=half_window,
+                crop_lo=wide_lo, crop_hi=wide_hi, fused=fused)
+            jax.block_until_ready(r.full_pose)
+            return r
+
+        hv_cfg = dataclasses.replace(
+            multi_cfg, hv_enabled=True, hv_inlier_threshold=0.01)
+        res_hv = run_multi(hv_cfg)
+
+        def med_ms(cfg_m, n=5):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                run_multi(cfg_m)
+                ts.append((time.perf_counter() - t0) * 1000.0)
+            return float(np.median(ts))
+
+        ms_off, ms_on = med_ms(multi_cfg), med_ms(hv_cfg)
+        inst_hv = good_instances(res_hv, hv_cfg, min_separation=0.2)
+        hv_errs = []
+        hv_covered = set()
+        for k in inst_hv:
+            e = {n: _err(k["pose"], T)
+                 for n, T in (("a", T_a), ("b", T_b))}
+            name, (ang, dt) = min(e.items(), key=lambda kv: kv[1][1])
+            hv_errs.append((name, ang, dt))
+            hv_covered.add(name)
+        hv_ok = (
+            len(inst_hv) == 2 and hv_covered == {"a", "b"}
+            and all(ang < 1.0 and dt < 0.005 for _, ang, dt in hv_errs))
+        n_verified = int(np.asarray(res_hv.cand_verified).sum())
+        print(f"# multi_instance_hv: hv_ok={hv_ok} n_good={len(inst_hv)} "
+              f"verified_mask={n_verified}/{res_hv.cand_verified.shape[0]} "
+              f"latency_hv_on={ms_on:.1f}ms hv_off={ms_off:.1f}ms errs=" +
+              " ".join(f"{n}:{ang:.2f}deg/{dt*1000:.1f}mm"
+                       for n, ang, dt in hv_errs),
+              file=sys.stderr)
+        assert hv_ok or SMALL, (
+            f"multi-instance HV failure: {len(inst_hv)}, {hv_errs}")
 
 
 if __name__ == "__main__":

@@ -37,8 +37,10 @@ def main():
     det_cfg = dataclasses.replace(cfg, segment_scene=False,
                                   remove_plane=False)
 
-    T_a = _pose(25.0, -15.0, [-0.26, -0.02, 1.05])
-    T_b = _pose(-20.0, 20.0, [0.28, 0.06, 1.00])
+    # keep in sync with bench.py's multi_instance section (separated
+    # poses — the r4 pair interpenetrated, min surface gap 0.000 m)
+    T_a = _pose(25.0, -15.0, [-0.30, -0.16, 1.05])
+    T_b = _pose(-20.0, 20.0, [0.30, 0.18, 1.00])
     cyls2 = []
     for T in (T_a, T_b):
         for c0, a0, r0, h0 in _CYLINDERS:
@@ -50,6 +52,7 @@ def main():
         det_cfg,
         coverage_accept=0.0,
         max_instances_per_view=4,
+        peak_grouped_candidates=True,
         max_candidates=16,
         refine_top=6,
         scene_capacity=8192,
@@ -106,11 +109,14 @@ def main():
             rows.append((v, p, votes[v, p], bool(valid[v, p]),
                          int(ncorr[v, p]), ea, eb))
 
-    # view-grouped cut: which views would be kept (top Kv by best bin)
-    Kv = multi_cfg.max_candidates // P
-    strength = np.where(valid, votes, -1.0).max(axis=1)
-    kept_views = set(np.argsort(-strength)[:Kv].tolist())
-    print(f"kept views (top {Kv} by best bin): {sorted(kept_views)}")
+    # peak-grouped cut: which (view, peak) pairs are kept (top Cp/2 by
+    # the pair's best mode); kept_views = views contributing any pair
+    Kp = multi_cfg.max_candidates // 2
+    pair_strength = np.where(valid, votes, -1.0).reshape(V * P // 2, 2
+                                                         ).max(axis=1)
+    kept_pairs = np.argsort(-pair_strength)[:Kp]
+    kept_views = set((kept_pairs // (P // 2)).tolist())
+    print(f"kept views (top {Kp} peaks): {sorted(kept_views)}")
 
     for name, idx in (("a", 5), ("b", 6)):
         best = sorted(rows, key=lambda r: r[idx][1])[:8]

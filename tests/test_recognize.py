@@ -64,6 +64,32 @@ def test_icp_converges(rng):
     np.testing.assert_allclose(np.asarray(T_est)[:3, 3], T_true[:3, 3], atol=1e-3)
 
 
+def test_icp_multi_capped_matches_uncapped(rng):
+    """icp_multi_capped (config.icp_rows_per_call): splitting the
+    candidate axis into sequential equal-shape calls is numerically the
+    per-candidate-independent computation re-chunked — results must match
+    the single wide call exactly."""
+    from tpu_joints.recognize.icp import icp_multi, icp_multi_capped
+
+    xyz, _ = joint_points(rng, n_chord=300, n_stub=200)
+    scene = make_cloud(xyz, capacity=512)
+    C, N = 4, 128
+    src = np.stack([xyz[rng.permutation(len(xyz))[:N]] for _ in range(C)])
+    mask = np.ones((C, N), bool)
+    inits = np.stack([random_rigid(rng, t_scale=0.01) for _ in range(C)])
+    kw = dict(iterations=5, max_corr_dist=0.05, chunk=512)
+    T0, f0 = icp_multi(jnp.asarray(src), jnp.asarray(mask), scene,
+                       jnp.asarray(inits), **kw)
+    T1, f1 = icp_multi_capped(jnp.asarray(src), jnp.asarray(mask), scene,
+                              jnp.asarray(inits), rows_cap=2 * N, **kw)
+    np.testing.assert_allclose(np.asarray(T0), np.asarray(T1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-6)
+    # uneven split (C=4 not divisible by per=3) must fall back to one call
+    T2, f2 = icp_multi_capped(jnp.asarray(src), jnp.asarray(mask), scene,
+                              jnp.asarray(inits), rows_cap=3 * N, **kw)
+    np.testing.assert_allclose(np.asarray(T0), np.asarray(T2), atol=1e-6)
+
+
 def test_icp_max_corr_dist_rejects_outliers(rng):
     xyz, _ = joint_points(rng, n_chord=300, n_stub=200)
     model = make_cloud(xyz, capacity=1024)

@@ -122,6 +122,13 @@ class DetectionConfig:
     # plane converges in ~half the iterations on cylinder-dominated scenes)
     icp_point_to_plane: bool = False
     max_candidates: int = 4           # instances refined by ICP
+    # > 0 bounds the folded NN rows of each batched-ICP call: wider
+    # candidate fields run as sequential equal-shape icp_multi calls so
+    # every Pallas NN kernel in the process keeps ONE program shape (the
+    # TPU runtime's multi-Mosaic-program re-execution fault,
+    # docs/PERFORMANCE.md). E.g. 8192 lets a 32×512-row tier-1 run as
+    # two proven 8192-row scans. 0 = one call regardless of width.
+    icp_rows_per_call: int = 0
     accept_fitness: float = 0.001     # SHOT.cpp:187
     # rank candidates by the FULL CAD's fitness at the composed pose (the
     # reference's best-score2 tracking, SHOT_demo.cpp:669-681) instead of

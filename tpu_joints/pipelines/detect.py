@@ -37,7 +37,7 @@ from tpu_joints.neighbors import radius_neighbors
 from tpu_joints.recognize.gc import gc_group
 from tpu_joints.recognize.hough import Instances, hough_group
 from tpu_joints.recognize.hv import verify_hypotheses
-from tpu_joints.recognize.icp import icp_multi
+from tpu_joints.recognize.icp import icp_multi, icp_multi_capped
 from tpu_joints.recognize.matching import Correspondences
 from tpu_joints.recognize.obb import OBB, oriented_bounding_box
 
@@ -642,10 +642,11 @@ def refine_instances(
         # all candidates refined in ONE batched ICP: candidate axis folded
         # into the NN query rows (never vmap the chunked top-k scan — see
         # recognize.icp.icp_multi's design note)
-        cand_poses, cand_fitness = icp_multi(
+        cand_poses, cand_fitness = icp_multi_capped(
             bank.icp_xyz[cand_views][:, ::stride],
             bank.icp_mask[cand_views][:, ::stride],
             feats.cloud, cand_init,
+            rows_cap=cfg.icp_rows_per_call,
             iterations=t1_view_iters,
             max_corr_dist=cfg.icp_max_corr_dist,
             max_corr_start=cfg.icp_max_corr_start, chunk=2048,
@@ -692,10 +693,11 @@ def refine_instances(
         rows = (Ni + stride - 1) // stride
         m_xyz, m_mask = _model_at_capacity(bank, rows)
         with jax.named_scope("full_model_polish"):
-            polished, model_fit = icp_multi(
+            polished, model_fit = icp_multi_capped(
                 jnp.broadcast_to(m_xyz, (C, rows, 3)),
                 jnp.broadcast_to(m_mask, (C, rows)),
                 feats.cloud, full_cands,
+                rows_cap=cfg.icp_rows_per_call,
                 iterations=t1_polish_iters,  # 0 = rank only
                 max_corr_dist=cfg.icp_max_corr_dist,
                 # wide basin early: a mostly-chord winner can sit several cm
@@ -741,10 +743,11 @@ def refine_instances(
             _, top_r = jax.lax.top_k(-ranked, R)
             m2_xyz, m2_mask = _model_at_capacity(bank, Ni)
             with jax.named_scope("tier2_polish"):
-                polished2, fit2 = icp_multi(
+                polished2, fit2 = icp_multi_capped(
                     jnp.broadcast_to(m2_xyz, (R, Ni, 3)),
                     jnp.broadcast_to(m2_mask, (R, Ni)),
                     feats.cloud, polished[top_r],
+                    rows_cap=cfg.icp_rows_per_call,
                     iterations=cfg.final_icp_iterations,
                     max_corr_dist=cfg.icp_max_corr_dist,
                     max_corr_start=cfg.icp_max_corr_start, chunk=2048,

@@ -204,6 +204,42 @@ def icp_multi(
     return Ts, fit
 
 
+def icp_multi_capped(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    target: Cloud,
+    init_T: jnp.ndarray,
+    rows_cap: int = 0,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`icp_multi` with the folded NN row count bounded per call.
+
+    ``rows_cap > 0`` splits the candidate axis into equal chunks of at
+    most ``rows_cap // N`` candidates and runs them as SEQUENTIAL
+    ``icp_multi`` calls of identical shape. Purpose: the TPU runtime's
+    multi-Mosaic-program re-execution fault (docs/PERFORMANCE.md "TPU
+    runtime fault") forbids a process from alternating Pallas NN kernels
+    of different row counts — a wide candidate field (e.g. 16/part
+    two-part search: 32×512 = 16384 rows) would otherwise instantiate a
+    second program alongside the 8192-row tier-2 call. Chunking trades
+    one wide scan for k sequential proven-shape scans (k× the sequential
+    NN rounds of this stage — spend only when the candidate width is
+    worth the latency). Chunks must divide evenly; uneven C falls back
+    to one call (a padded chunk would change the program shape anyway).
+    """
+    C, N, _ = src_xyz.shape
+    per = max(1, rows_cap // N) if rows_cap > 0 else C
+    if rows_cap <= 0 or C <= per or C % per:
+        return icp_multi(src_xyz, src_mask, target, init_T, **kw)
+    Ts, fits = [], []
+    for s in range(0, C, per):
+        T, f = icp_multi(src_xyz[s:s + per], src_mask[s:s + per],
+                         target, init_T[s:s + per], **kw)
+        Ts.append(T)
+        fits.append(f)
+    return jnp.concatenate(Ts), jnp.concatenate(fits)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def fitness_multi(
     src_xyz: jnp.ndarray,
