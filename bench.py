@@ -849,11 +849,12 @@ def main():
         # SHOT_hypothesis.cpp:653-721 prints a GOOD verdict per surviving
         # registered instance). Two posed copies of the joint in one
         # frame; good_instances must return exactly 2 accurate poses and
-        # nothing spurious. The coverage ACCEPTANCE gate is off (one
-        # instance legitimately cannot explain the other's points), but
-        # coverage RANKING stays sound: the other instance's contribution
-        # is a constant offset shared by every candidate, so the
-        # true-vs-flip contrast is preserved.
+        # nothing spurious. The coverage ACCEPTANCE gate runs in LOCAL
+        # mode (config.coverage_local): globally one instance cannot
+        # explain the other's points, but each candidate must still
+        # explain its OWN footprint. Coverage RANKING stays global: the
+        # other instance's contribution is a constant offset shared by
+        # every candidate, so the true-vs-flip contrast is preserved.
         from tpu_joints.pipelines.detect import good_instances
 
         # SEPARATED instances (round-5 root cause of the r4 rc=1): the
@@ -879,18 +880,35 @@ def main():
                               with_table=False, cylinders=cyls2)
         multi_cfg = dataclasses.replace(
             det_cfg,
-            coverage_accept=0.0,
+            # the coverage gate stays ON but turns LOCAL: the global
+            # unexplained fraction is ~50% at any pose (the other
+            # instance), while per-footprint it keeps single-instance
+            # semantics — measured on this frame: true poses 0.000,
+            # 180°-flips 0.12-0.15, so 0.02 rejects flips with 6x margin
+            coverage_local=True,
             # TWO physical instances need TWO translation peaks per view;
             # with split_rotation_modes each peak emits its two rotation
-            # modes -> 4 instances/view. The cut is PEAK-grouped (top 8
+            # modes -> 4 instances/view. The cut is PEAK-grouped (top 16
             # (view, peak) pairs x both modes): the r4 view-grouped cut
             # kept only 4 whole views and the vote-richer joint starved
             # the other out of the field (debug_multi_instance.py: kept
-            # views [2,16,17,18], all a-dominated).
+            # views [2,16,17,18], all a-dominated). 16 pairs because the
+            # true-rotation peaks of the flip-dominated joint rank
+            # 18th-26th by votes on this frame (flip peaks carry ~20
+            # votes, true-rotation peaks ~13-14, coherent phase-aliased
+            # spam 13-16 — a 24-pair cut admits the true peaks; the
+            # coverage ranking then arbitrates). refine_top=12 keeps
+            # tier-2 budget for both joints despite ~10 of the kept
+            # pairs converging to duplicates of the stronger joint.
             max_instances_per_view=4,
             peak_grouped_candidates=True,
-            max_candidates=16,
-            refine_top=6,                 # acceptance-grade budget ≥ 2
+            max_candidates=48,
+            refine_top=12,
+            # every batched-ICP call at the proven 8192-row Mosaic shape:
+            # tier-1/polish 48x512 run as three and tier-2 12x2048 as
+            # three sequential 8192-row scans (docs/PERFORMANCE.md
+            # runtime fault; config.icp_rows_per_call)
+            icp_rows_per_call=8192,
             scene_capacity=4096 if SMALL else 8192,
             scene_key_capacity=512 if SMALL else 1024,
         )

@@ -50,11 +50,12 @@ def main():
                           with_table=False, cylinders=cyls2)
     multi_cfg = dataclasses.replace(
         det_cfg,
-        coverage_accept=0.0,
+        coverage_local=True,
         max_instances_per_view=4,
         peak_grouped_candidates=True,
-        max_candidates=16,
-        refine_top=6,
+        max_candidates=48,
+        refine_top=12,
+        icp_rows_per_call=8192,
         scene_capacity=8192,
         scene_key_capacity=1024,
     )
@@ -128,13 +129,15 @@ def main():
                   f"trans={e[1]*1000:7.1f} votes={vt:6.1f} valid={ok} "
                   f"ncorr={nk:4d} kept={v in kept_views}")
 
-    # vote ranking context: strongest bins overall
-    print("\ntop-12 views by best-bin votes:")
-    order = np.argsort(-strength)[:12]
-    for v in order:
-        best_a = min(rows[v * P + p][5][1] for p in range(P))
-        best_b = min(rows[v * P + p][6][1] for p in range(P))
-        print(f"  view={v:2d} strength={strength[v]:6.1f} "
+    # vote ranking context: strongest (view, peak) pairs overall
+    print("\ntop-28 (view, peak) pairs by votes:")
+    for pk in np.argsort(-pair_strength)[:28]:
+        v = int(pk // (P // 2))
+        p0 = int((pk % (P // 2)) * 2)
+        best_a = min(rows[v * P + p0 + j][5][1] for j in range(2))
+        best_b = min(rows[v * P + p0 + j][6][1] for j in range(2))
+        print(f"  view={v:2d} peak={p0 // 2} "
+              f"votes={pair_strength[pk]:6.1f} "
               f"besttrans a={best_a*1000:7.1f}mm b={best_b*1000:7.1f}mm")
 
 

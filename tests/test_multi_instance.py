@@ -4,6 +4,7 @@ both, and ``good_instances`` must return exactly the two distinct GOOD
 poses (flips/duplicates collapsed, nothing spurious accepted)."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpu_joints.config import DetectionConfig
 from tpu_joints.core.cloud import make_cloud
@@ -46,7 +47,12 @@ def _pose(seed, t):
     return T
 
 
-def test_two_instances_both_good(rng):
+@pytest.fixture(scope="module")
+def problem():
+    """One shared (bank, scene, T_a, T_b) for the whole module — the four
+    tests pose the SAME two-instance problem under different configs, and
+    the bank build is the module's dominant setup cost."""
+    rng = np.random.default_rng(0)
     model_xyz, _ = knobby_joint_points(rng, n_chord=900, n_stub=500,
                                        n_knob=150, jitter=0.0)
     T_a = _pose(7, [-0.35, 0.0, 0.0])
@@ -55,13 +61,19 @@ def test_two_instances_both_good(rng):
         model_xyz @ T_a[:3, :3].T + T_a[:3, 3],
         model_xyz @ T_b[:3, :3].T + T_b[:3, 3],
     ])
-
     bank = build_bank(
         model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
         sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
         level=0, resolution=96, key_capacity=192,
     )
     scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
+    return bank, scene, T_a, T_b
+
+
+
+def test_two_instances_both_good(problem):
+    bank, scene, T_a, T_b = problem
+
     res = detect(scene, bank, CFG)
     assert bool(res.accepted)
 
@@ -86,7 +98,7 @@ def test_two_instances_both_good(rng):
     assert covered == {"a", "b"}, f"instances cover only {covered}"
 
 
-def test_two_instances_two_tier(rng):
+def test_two_instances_two_tier(problem):
     """Two-tier refinement × multi-instance: only tier-2 survivors are
     acceptance-grade, so ``refine_top`` must be ≥ the number of physical
     instances for all of them to be reported (the ``good_instances``
@@ -94,20 +106,7 @@ def test_two_instances_two_tier(rng):
     most the single tier-2 winner — never a tier-1 (ranking-grade) pose."""
     import dataclasses
 
-    model_xyz, _ = knobby_joint_points(rng, n_chord=900, n_stub=500,
-                                       n_knob=150, jitter=0.0)
-    T_a = _pose(7, [-0.35, 0.0, 0.0])
-    T_b = _pose(11, [0.35, 0.05, -0.05])
-    scene_xyz = np.concatenate([
-        model_xyz @ T_a[:3, :3].T + T_a[:3, 3],
-        model_xyz @ T_b[:3, :3].T + T_b[:3, 3],
-    ])
-    bank = build_bank(
-        model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
-        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
-        level=0, resolution=96, key_capacity=192,
-    )
-    scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
+    bank, scene, T_a, T_b = problem
 
     cfg2 = dataclasses.replace(CFG, refine_top=2, final_icp_iterations=6)
     res = detect(scene, bank, cfg2)
@@ -123,7 +122,7 @@ def test_two_instances_two_tier(rng):
     assert len(inst1) <= 1, f"tier-1 poses must not be reported: {inst1}"
 
 
-def test_peak_grouped_cut_two_instances(rng):
+def test_peak_grouped_cut_two_instances(problem):
     """Peak-grouped candidate cut (config.peak_grouped_candidates): with
     split rotation modes and 2 peaks/view (P=4), the cut ranks
     (view, peak) pairs globally so each physical instance's peaks compete
@@ -132,20 +131,7 @@ def test_peak_grouped_cut_two_instances(rng):
     view-grouped cut; assert the equivalence on the same scene."""
     import dataclasses
 
-    model_xyz, _ = knobby_joint_points(rng, n_chord=900, n_stub=500,
-                                       n_knob=150, jitter=0.0)
-    T_a = _pose(7, [-0.35, 0.0, 0.0])
-    T_b = _pose(11, [0.35, 0.05, -0.05])
-    scene_xyz = np.concatenate([
-        model_xyz @ T_a[:3, :3].T + T_a[:3, 3],
-        model_xyz @ T_b[:3, :3].T + T_b[:3, 3],
-    ])
-    bank = build_bank(
-        model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
-        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
-        level=0, resolution=96, key_capacity=192,
-    )
-    scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
+    bank, scene, T_a, T_b = problem
 
     cfg_pk = dataclasses.replace(
         CFG, split_rotation_modes=True, peak_grouped_candidates=True,
@@ -170,27 +156,14 @@ def test_peak_grouped_cut_two_instances(rng):
                                np.asarray(res_p.full_pose), atol=1e-6)
 
 
-def test_two_instances_with_hv(rng):
+def test_two_instances_with_hv(problem):
     """GO-HV over the multi-instance candidate field (the reference's exact
     regime, SHOT_hypothesis.cpp:632-651): the jointly-optimal subset keeps
     one verified candidate per physical instance (the multiple-assignment
     penalty kills same-spot duplicates) and good_instances reports both."""
     import dataclasses
 
-    model_xyz, _ = knobby_joint_points(rng, n_chord=900, n_stub=500,
-                                       n_knob=150, jitter=0.0)
-    T_a = _pose(7, [-0.35, 0.0, 0.0])
-    T_b = _pose(11, [0.35, 0.05, -0.05])
-    scene_xyz = np.concatenate([
-        model_xyz @ T_a[:3, :3].T + T_a[:3, 3],
-        model_xyz @ T_b[:3, :3].T + T_b[:3, 3],
-    ])
-    bank = build_bank(
-        model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
-        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
-        level=0, resolution=96, key_capacity=192,
-    )
-    scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
+    bank, scene, T_a, T_b = problem
     cfg = dataclasses.replace(CFG, hv_enabled=True, hv_inlier_threshold=0.01)
     res = detect(scene, bank, cfg)
     assert bool(res.accepted)

@@ -116,12 +116,12 @@ def _organized_two_part_problem():
     from tests.util import knobby_joint_parts, knobby_joint_primitives
 
     rng = np.random.default_rng(7)
-    parts = knobby_joint_parts(rng, n_chord=2400, n_stub=1400, n_knob=500)
+    parts = knobby_joint_parts(rng, n_chord=1200, n_stub=800, n_knob=300)
     full = np.concatenate([parts["chord"], parts["stub"]])
 
     part_views = {}
     for name in ("chord", "stub"):
-        views, poses, _ = render_views(parts[name], level=0, resolution=96)
+        views, poses, _ = render_views(parts[name], level=0, resolution=64)
         part_views[name] = (views, poses)
     vc = bucket_size(max(max(v.shape[0] for v in vs)
                          for vs, _ in part_views.values()))
@@ -129,9 +129,9 @@ def _organized_two_part_problem():
         name: build_bank(
             full, views=vs, poses=ps, view_capacity=vc,
             descriptor="shot", descr_radius=0.06, rf_radius=0.06,
-            rf_k_max=256, frames="board", sampling_radius=0.02,
+            rf_k_max=128, frames="board", sampling_radius=0.02,
             normal_k=16, k_max=96, surface_leaf=0.01,
-            key_capacity=64, icp_capacity=1024)
+            key_capacity=48, icp_capacity=512)
         for name, (vs, ps) in part_views.items()
     }
     return banks, knobby_joint_primitives()
@@ -176,13 +176,13 @@ def test_detect_parts_organized_matches_per_part_runs():
     cfg = DetectionConfig(
         descriptor="shot", descr_rad=0.06, model_ss=0.02, scene_ss=0.03,
         normal_k=16, match_mode="nn", match_threshold=0.25,
-        algorithm="hough", rf_frames="board", rf_rad=0.06, rf_k_max=256,
+        algorithm="hough", rf_frames="board", rf_rad=0.06, rf_k_max=128,
         cg_size=0.05, cg_thresh=3.0,
         icp_iterations=6, icp_point_to_plane=True,
         icp_max_corr_dist=0.02, icp_max_corr_start=0.2,
         final_icp_iterations=4, max_candidates=Cp,
         max_instances_per_view=1, refine_top=2, tier1_rows=512,
-        tier1_iterations=4, scene_capacity=3072, scene_key_capacity=256,
+        tier1_iterations=4, scene_capacity=2048, scene_key_capacity=192,
         coverage_accept=0.02, k_max=96,
     )
     names, res, n_sel = detect_parts_organized(

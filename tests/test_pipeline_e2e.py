@@ -2,6 +2,7 @@
 scanner bank → rendered scene at a known pose → full detect() →
 < 1° rotation / < 5 mm translation (BASELINE.md tolerance)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tpu_joints.config import DetectionConfig
@@ -46,19 +47,23 @@ def _make_problem(rng, seed_T=0):
     return model_xyz, scene_xyz, T_gt
 
 
-def test_detect_recovers_pose(rng):
+
+@pytest.fixture(scope="module")
+def problem():
+    """Shared (model, scene, T_gt, bank) — three tests here run the same
+    problem under different configs, and the bank build dominates setup."""
+    rng = np.random.default_rng(0)
     model_xyz, scene_xyz, T_gt = _make_problem(rng)
     bank = build_bank(
-        model_xyz,
-        descriptor=CFG.descriptor,
-        descr_radius=CFG.descr_rad,
-        sampling_radius=CFG.model_ss,
-        normal_k=CFG.normal_k,
-        k_max=CFG.k_max,
-        level=0,
-        resolution=96,
-        key_capacity=128,
+        model_xyz, descriptor=CFG.descriptor, descr_radius=CFG.descr_rad,
+        sampling_radius=CFG.model_ss, normal_k=CFG.normal_k, k_max=CFG.k_max,
+        level=0, resolution=96, key_capacity=128,
     )
+    return model_xyz, scene_xyz, T_gt, bank
+
+
+def test_detect_recovers_pose(problem):
+    model_xyz, scene_xyz, T_gt, bank = problem
     scene = make_cloud(scene_xyz, capacity=CFG.scene_capacity)
     res = detect(scene, bank, CFG)
     fit = float(res.fitness)
@@ -75,18 +80,13 @@ def jnp_metrics(res):
     return {k: np.asarray(v).item() for k, v in res.metrics.items()}
 
 
-def test_final_full_cad_icp_polish(rng):
+def test_final_full_cad_icp_polish(problem):
     """SHOT_demo.cpp:641-686: composed-pose ICP on the full CAD + the
     score2 < 0.006 gate tightens (or preserves) the recovered pose."""
     import dataclasses
 
-    model_xyz, scene_xyz, T_gt = _make_problem(rng)
+    model_xyz, scene_xyz, T_gt, bank = problem
     cfg = dataclasses.replace(CFG, final_icp_iterations=3)
-    bank = build_bank(
-        model_xyz, descriptor=cfg.descriptor, descr_radius=cfg.descr_rad,
-        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
-        level=0, resolution=96, key_capacity=128,
-    )
     scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
     res = detect(scene, bank, cfg)
     assert bool(res.accepted)
@@ -126,19 +126,14 @@ def test_scanner_42_views(rng):
         assert v[:, 2].min() > 0
 
 
-def test_two_tier_refinement_matches_single_tier(rng):
+def test_two_tier_refinement_matches_single_tier(problem):
     """cfg.refine_top: the two-tier pass (tier-1 rank at reduced rows →
     full polish on the survivors) must recover the same pose as the
     single-tier compute-all path within the golden tolerances."""
     import dataclasses
 
-    model_xyz, scene_xyz, T_gt = _make_problem(rng)
+    model_xyz, scene_xyz, T_gt, bank = problem
     cfg = dataclasses.replace(CFG, final_icp_iterations=3, max_candidates=4)
-    bank = build_bank(
-        model_xyz, descriptor=cfg.descriptor, descr_radius=cfg.descr_rad,
-        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
-        level=0, resolution=96, key_capacity=128,
-    )
     scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
     cfg2 = dataclasses.replace(cfg, refine_top=2, tier1_rows=256)
     res1 = detect(scene, bank, cfg)

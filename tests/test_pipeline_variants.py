@@ -1,6 +1,7 @@
 """Golden end-to-end tests for the FPFH and hypothesis-verification
 pipelines (reference FPFH_demo.cpp / SHOT_hypothesis.cpp behavior)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tpu_joints.config import DetectionConfig
@@ -32,6 +33,21 @@ def _check(res, T_gt, rot_tol=1.5, trans_tol=0.008):
     terr = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
     assert ang < rot_tol, f"rotation error {ang}°"
     assert terr < trans_tol, f"translation error {terr*1000:.1f} mm"
+
+
+
+@pytest.fixture(scope="module")
+def shot_problem():
+    """Shared SHOT (model, scene, T_gt, bank) for the three variant tests
+    below — identical build args; the bank build dominates setup."""
+    rng = np.random.default_rng(0)
+    model_xyz, scene_xyz, T_gt = _problem(rng)
+    bank = build_bank(
+        model_xyz, descriptor="shot", descr_radius=0.12,
+        sampling_radius=0.03, normal_k=12, k_max=96,
+        level=0, resolution=96, key_capacity=128,
+    )
+    return model_xyz, scene_xyz, T_gt, bank
 
 
 def test_fpfh_end_to_end(rng):
@@ -66,7 +82,7 @@ def test_fpfh_end_to_end(rng):
     _check(res, T_gt)
 
 
-def test_hypothesis_verification_end_to_end(rng):
+def test_hypothesis_verification_end_to_end(shot_problem):
     """SHOT_hypothesis.cpp analog: GO-HV gates the accepted instance."""
     cfg = DetectionConfig(
         descriptor="shot", descr_rad=0.12, model_ss=0.03, scene_ss=0.03,
@@ -76,12 +92,7 @@ def test_hypothesis_verification_end_to_end(rng):
         hv_enabled=True, hv_inlier_threshold=0.01,
         scene_capacity=4096, scene_key_capacity=256, k_max=96,
     )
-    model_xyz, scene_xyz, T_gt = _problem(rng)
-    bank = build_bank(
-        model_xyz, descriptor="shot", descr_radius=cfg.descr_rad,
-        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
-        level=0, resolution=96, key_capacity=128,
-    )
+    model_xyz, scene_xyz, T_gt, bank = shot_problem
     scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
     res = detect(scene, bank, cfg)
     _check(res, T_gt)
@@ -93,7 +104,7 @@ def test_hypothesis_verification_end_to_end(rng):
     assert bool(np.asarray(res.cand_verified).any())
 
 
-def test_gc_grouping_end_to_end(rng):
+def test_gc_grouping_end_to_end(shot_problem):
     """SHOT.cpp --algorithm GC: geometric-consistency grouping variant."""
     cfg = DetectionConfig(
         descriptor="shot", descr_rad=0.12, model_ss=0.03, scene_ss=0.03,
@@ -102,18 +113,13 @@ def test_gc_grouping_end_to_end(rng):
         icp_iterations=20, max_candidates=4, accept_fitness=0.001,
         scene_capacity=4096, scene_key_capacity=256, k_max=96,
     )
-    model_xyz, scene_xyz, T_gt = _problem(rng)
-    bank = build_bank(
-        model_xyz, descriptor="shot", descr_radius=cfg.descr_rad,
-        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
-        level=0, resolution=96, key_capacity=128,
-    )
+    model_xyz, scene_xyz, T_gt, bank = shot_problem
     scene = make_cloud(scene_xyz, capacity=cfg.scene_capacity)
     res = detect(scene, bank, cfg)
     _check(res, T_gt)
 
 
-def test_no_model_bank_disables_two_tier(rng):
+def test_no_model_bank_disables_two_tier(shot_problem):
     """A legacy bank without the full-CAD model field must not engage
     two-tier refinement: tier-1 ranking would run on the all-masked
     placeholder (meaningless) and the stride-reduced view ICP would ship
@@ -136,12 +142,7 @@ def test_no_model_bank_disables_two_tier(rng):
         # has none (rank by view fitness like round-1 banks did)
         rank_scene_coverage=False, select_by_model_fitness=False,
     )
-    model_xyz, scene_xyz, T_gt = _problem(rng)
-    bank = build_bank(
-        model_xyz, descriptor="shot", descr_radius=cfg.descr_rad,
-        sampling_radius=cfg.model_ss, normal_k=cfg.normal_k, k_max=cfg.k_max,
-        level=0, resolution=96, key_capacity=128,
-    )
+    model_xyz, scene_xyz, T_gt, bank = shot_problem
     # simulate a pre-model-field bank (load_bank back-compat placeholder)
     bank = dataclasses.replace(
         bank, model_mask=jnp.zeros_like(bank.model_mask))

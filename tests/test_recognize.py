@@ -90,6 +90,34 @@ def test_icp_multi_capped_matches_uncapped(rng):
     np.testing.assert_allclose(np.asarray(T0), np.asarray(T2), atol=1e-6)
 
 
+def test_scene_coverage_local_unexplained(rng):
+    """local=True (config.coverage_local): the unexplained fraction is
+    measured inside each candidate's own model footprint, so a second
+    object elsewhere in the scene no longer floods the gate — a true pose
+    stays ~0 while a pose that strands points inside its own footprint
+    still pays."""
+    from tpu_joints.recognize.icp import scene_coverage_multi
+
+    xyz, _ = joint_points(rng, n_chord=400, n_stub=250)
+    other = xyz + np.array([1.5, 0.0, 0.0], np.float32)  # far second object
+    scene = make_cloud(np.concatenate([xyz, other]), capacity=2048)
+    T_true = np.eye(4, dtype=np.float32)
+    T_shift = np.eye(4, dtype=np.float32)
+    T_shift[:3, 3] = [0.0, 0.12, 0.0]   # strands its own footprint
+    Ts = jnp.asarray(np.stack([T_true, T_shift]))
+    m = jnp.asarray(xyz)
+    mask = jnp.ones((xyz.shape[0],), bool)
+    _, unexp_g = scene_coverage_multi(scene, m, mask, Ts, chunk=512)
+    _, unexp_l = scene_coverage_multi(scene, m, mask, Ts, chunk=512,
+                                      local=True)
+    # global: even the true pose is ~50% unexplained (the second object)
+    assert float(unexp_g[0]) > 0.4
+    # local: the true pose explains its own footprint
+    assert float(unexp_l[0]) < 0.01, float(unexp_l[0])
+    # a stranding pose still pays inside its own footprint
+    assert float(unexp_l[1]) > 0.1, float(unexp_l[1])
+
+
 def test_icp_max_corr_dist_rejects_outliers(rng):
     xyz, _ = joint_points(rng, n_chord=300, n_stub=200)
     model = make_cloud(xyz, capacity=1024)

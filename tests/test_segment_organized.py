@@ -13,6 +13,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_joints.config import DetectionConfig
 from tpu_joints.segment.organized import region_growing_lattice
@@ -273,7 +274,31 @@ def test_segmented_ingest_detect_e2e(rng):
     assert terr < 0.008, f"translation error {terr*1000:.1f} mm"
 
 
-def test_detect_organized_fused_matches_split(rng):
+
+@pytest.fixture(scope="module")
+def cyl_bank():
+    """One shared bare-cylinder bank for the three detect_organized
+    equivalence tests below (identical build args; the bank build is the
+    dominant per-test setup cost)."""
+    from tpu_joints.modelbank import build_bank
+
+    rngm = np.random.default_rng(7)
+    theta = rngm.uniform(0, 2 * np.pi, 1500)
+    h = rngm.uniform(-0.3, 0.3, 1500)
+    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
+                     1).astype(np.float32)
+    # cfg fields the build reads (kept in sync with the tests' _seg_cfg
+    # calls: descr/rf 0.06, model_ss 0.02, k_max 64, normals k default)
+    cfg = _seg_cfg(descr_rad=0.06, model_ss=0.02, scene_ss=0.02,
+                   rf_frames="board", rf_rad=0.06, k_max=64)
+    return build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
+                      rf_radius=cfg.rf_rad, frames="board",
+                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
+                      k_max=cfg.k_max, level=0, resolution=48,
+                      key_capacity=32, icp_capacity=512)
+
+
+def test_detect_organized_fused_matches_split(cyl_bank):
     """The one-dispatch fused program and the two-dispatch split must
     produce identical results (same jaxpr, different executable
     boundaries) — on both the plain and the lattice-crop routes."""
@@ -288,16 +313,7 @@ def test_detect_organized_fused_matches_split(rng):
         rf_rad=0.06, cg_size=0.05, icp_iterations=4, max_candidates=4,
         max_instances_per_view=1, k_max=64, scene_key_capacity=128,
         final_icp_iterations=2)
-    rngm = np.random.default_rng(7)
-    theta = rngm.uniform(0, 2 * np.pi, 1500)
-    h = rngm.uniform(-0.3, 0.3, 1500)
-    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
-                     1).astype(np.float32)
-    bank = build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
-                      rf_radius=cfg.rf_rad, frames="board",
-                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
-                      k_max=cfg.k_max, level=0, resolution=48,
-                      key_capacity=32, icp_capacity=512)
+    bank = cyl_bank
     crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
     crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
     for route_cfg in (cfg, dataclasses.replace(cfg, segment_scene=False,
@@ -317,7 +333,7 @@ def test_detect_organized_fused_matches_split(rng):
         assert int(r_split.view_idx) == int(r_fused.view_idx)
 
 
-def test_detect_organized_batch_matches_per_frame(rng):
+def test_detect_organized_batch_matches_per_frame(cyl_bank):
     """The one-dispatch batched entry (``detect_organized_batch`` — vmap of
     the fused chain, the serving steady-state formulation) must reproduce
     the per-frame fused results leaf for leaf."""
@@ -352,16 +368,7 @@ def test_detect_organized_batch_matches_per_frame(rng):
         rf_rad=0.06, cg_size=0.05, icp_iterations=4, max_candidates=4,
         max_instances_per_view=1, k_max=64, scene_key_capacity=128,
         final_icp_iterations=2, segment_scene=False, remove_plane=False)
-    rngm = np.random.default_rng(7)
-    theta = rngm.uniform(0, 2 * np.pi, 1500)
-    h = rngm.uniform(-0.3, 0.3, 1500)
-    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
-                     1).astype(np.float32)
-    bank = build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
-                      rf_radius=cfg.rf_rad, frames="board",
-                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
-                      k_max=cfg.k_max, level=0, resolution=48,
-                      key_capacity=32, icp_capacity=512)
+    bank = cyl_bank
     crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
     crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
 
@@ -427,7 +434,7 @@ def test_lattice_key_flags_one_per_occupied_cell():
                 assert d2[flag[cell]][0] == d2.min()
 
 
-def test_detect_organized_lattice_keypoints_plumbing(rng):
+def test_detect_organized_lattice_keypoints_plumbing(cyl_bank):
     """keypoints="lattice" (EXPERIMENTAL): keys selected on the sensor
     lattice inside ingest flow through the fused chain — every key is a
     real scene point, counts land near one-per-cell, and the segmented
@@ -444,16 +451,7 @@ def test_detect_organized_lattice_keypoints_plumbing(rng):
         rf_rad=0.06, cg_size=0.05, icp_iterations=4, max_candidates=4,
         max_instances_per_view=1, k_max=64, scene_key_capacity=512,
         final_icp_iterations=4, keypoints="lattice", key_group=3)
-    rngm = np.random.default_rng(7)
-    theta = rngm.uniform(0, 2 * np.pi, 1500)
-    h = rngm.uniform(-0.3, 0.3, 1500)
-    model = np.stack([h, 0.08 * np.cos(theta), 0.08 * np.sin(theta)],
-                     1).astype(np.float32)
-    bank = build_bank(model, descriptor="shot", descr_radius=cfg.descr_rad,
-                      rf_radius=cfg.rf_rad, frames="board",
-                      sampling_radius=cfg.model_ss, normal_k=cfg.normal_k,
-                      k_max=cfg.k_max, level=0, resolution=48,
-                      key_capacity=32, icp_capacity=512)
+    bank = cyl_bank
     crop_lo = jnp.array([-0.45, -0.5, 0.5], jnp.float32)
     crop_hi = jnp.array([0.5, 0.45, 1.55], jnp.float32)
     for route_cfg in (cfg, dataclasses.replace(cfg, segment_scene=False,

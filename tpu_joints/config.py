@@ -157,6 +157,13 @@ class DetectionConfig:
     # scenes, e.g. after the segmentation crop; leave 0 for cluttered
     # unsegmented scenes.
     coverage_accept: float = 0.0
+    # compute the coverage-gate 'unexplained' fraction LOCALLY — over the
+    # scene points inside each candidate's own model footprint — instead
+    # of over the whole scene. Required for the coverage_accept gate in
+    # multi-instance scenes (the other instance's points otherwise
+    # dominate the global fraction); identical to global on single-object
+    # scenes. See recognize.icp.scene_coverage_multi(local=True).
+    coverage_local: bool = False
     # two-tier candidate refinement: > 0 refines ALL candidates at a
     # stride-reduced row budget (``tier1_rows`` per candidate), ranks them
     # by coverage + model fitness, then spends the full row budget
@@ -180,6 +187,20 @@ class DetectionConfig:
     # uses the full budgets (icp_iterations / final_icp_iterations); only
     # read when refine_top > 0.
     tier1_iterations: int = 0
+    # finer-grained tier-1 budgets (latency levers — each ICP iteration is
+    # one sequential ~0.5 ms NN round, the refinement stage's latency
+    # driver): view ICP and full-CAD ranking polish budgets separately.
+    # 0 = inherit (tier1_iterations for the view stage;
+    # min(tier1_iterations, final_icp_iterations) for the polish stage).
+    tier1_view_iterations: int = 0
+    tier1_polish_iterations: int = 0
+    # skip the tier-1 view ICP's trailing fitness pass (one NN round):
+    # under two-tier + select_by_model_fitness the per-view fitness is
+    # reporting-only (ranking uses coverage + full-CAD fit; acceptance
+    # gates on the tier-2 full-CAD fitness), so the round is droppable.
+    # The winner's cand_fitness then reads 0.0 — don't enable in presets
+    # that gate or report on view fitness.
+    tier1_skip_view_fitness: bool = False
     # final composed-pose ICP on the FULL CAD model (SHOT_demo.cpp:641-686):
     # 0 disables; reference chains 1-iteration ICPs and gates score2 < 0.006
     final_icp_iterations: int = 0

@@ -487,8 +487,20 @@ def good_instances(
         ok &= (np.asarray(res.metrics["cand_unexplained"])
                < cfg.coverage_accept)
     views = np.asarray(res.cand_views)
+    # greedy order: the same coverage-dominant rank the winner selection
+    # uses (coverage + 0.1·fitness) when coverage was computed — full-CAD
+    # fitness alone is flip-blind on near-symmetric parts (the occluded
+    # back dominates it for true and flipped poses alike), so the
+    # location dedup below would keep whichever of true/flip drew the
+    # lower noise floor. Fitness-only order is kept for runs without a
+    # ranking stage.
+    if "cand_coverage" in res.metrics:
+        order_metric = (np.asarray(res.metrics["cand_coverage"])
+                        + 0.1 * fitness)
+    else:
+        order_metric = fitness
     kept = []
-    for i in np.argsort(fitness):
+    for i in np.argsort(order_metric):
         if not ok[i]:
             continue
         T = poses[i]
@@ -632,12 +644,19 @@ def refine_instances(
     # (cfg.tier1_iterations) cuts their sequential NN-round depth — the
     # latency driver of the whole refinement stage — while tier 2 keeps
     # the acceptance-grade budgets
-    t1_view_iters = (cfg.tier1_iterations
-                     if two_tier and cfg.tier1_iterations > 0
-                     else cfg.icp_iterations)
-    t1_polish_iters = (min(cfg.tier1_iterations, cfg.final_icp_iterations)
-                       if two_tier and cfg.tier1_iterations > 0
-                       else cfg.final_icp_iterations)
+    t1_view_iters = cfg.icp_iterations
+    t1_polish_iters = cfg.final_icp_iterations
+    if two_tier:
+        # per-stage overrides first, the shared tier1_iterations second
+        if cfg.tier1_view_iterations > 0:
+            t1_view_iters = cfg.tier1_view_iterations
+        elif cfg.tier1_iterations > 0:
+            t1_view_iters = cfg.tier1_iterations
+        if cfg.tier1_polish_iterations > 0:
+            t1_polish_iters = cfg.tier1_polish_iterations
+        elif cfg.tier1_iterations > 0:
+            t1_polish_iters = min(cfg.tier1_iterations,
+                                  cfg.final_icp_iterations)
     with jax.named_scope("icp_refine"):
         # all candidates refined in ONE batched ICP: candidate axis folded
         # into the NN query rows (never vmap the chunked top-k scan — see
@@ -652,6 +671,7 @@ def refine_instances(
             max_corr_start=cfg.icp_max_corr_start, chunk=2048,
             point_to_plane=cfg.icp_point_to_plane,
             target_normals=feats.normals if cfg.icp_point_to_plane else None,
+            with_fitness=not (two_tier and cfg.tier1_skip_view_fitness),
         )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
@@ -728,7 +748,8 @@ def refine_instances(
             with jax.named_scope("scene_coverage"):
                 coverage, unexplained = scene_coverage_multi(
                     feats.cloud, c_xyz, c_mask, polished,
-                    clip=cfg.coverage_clip, chunk=2048)
+                    clip=cfg.coverage_clip, chunk=2048,
+                    local=cfg.coverage_local)
             # coverage-DOMINANT ranking, model_fit as tiebreak: score2's
             # value is the same back-of-CAD noise floor (~4e-3 m²) for true
             # and flipped poses alike, and its candidate-to-candidate
@@ -761,7 +782,8 @@ def refine_instances(
                 with jax.named_scope("tier2_coverage"):
                     coverage2, unexplained2 = scene_coverage_multi(
                         feats.cloud, c2_xyz, c2_mask, polished2,
-                        clip=cfg.coverage_clip, chunk=2048)
+                        clip=cfg.coverage_clip, chunk=2048,
+                        local=cfg.coverage_local)
                 rank2 = coverage2 + 0.1 * fit2
                 coverage = coverage.at[top_r].set(coverage2)
                 unexplained = unexplained.at[top_r].set(unexplained2)

@@ -119,9 +119,18 @@ def _explained_matrix(
         depth = lo = scale = None
 
     def per_instance(ixyz, imask):
-        d_s, _ = knn(scene.xyz, ixyz, 1, source_mask=imask, chunk=chunk)
+        # allow_pallas=False: HV runs once per detection and its NN shapes
+        # differ from the ICP refinement's — a second Mosaic k=1 program
+        # alternating with the ICP kernel trips the TPU runtime's
+        # re-execution fault (docs/PERFORMANCE.md; measured on the r5
+        # hv-on multi-instance bench: first execution fine, re-execution
+        # after the hv-off program INVALID_ARGUMENT). The XLA k=1 path is
+        # near-equal for a once-per-frame stage.
+        d_s, _ = knn(scene.xyz, ixyz, 1, source_mask=imask, chunk=chunk,
+                     allow_pallas=False)
         explained = scene.mask & (d_s[:, 0] <= thr_sq)
-        d_m, _ = knn(ixyz, scene.xyz, 1, source_mask=scene.mask, chunk=chunk)
+        d_m, _ = knn(ixyz, scene.xyz, 1, source_mask=scene.mask, chunk=chunk,
+                     allow_pallas=False)
         outlier = imask & (d_m[:, 0] > thr_sq)
         if occlusion_threshold > 0.0:
             outlier = outlier & ~_occluded(

@@ -133,7 +133,8 @@ def _plane_delta(moved, q, n, w):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "max_corr_start", "chunk", "point_to_plane"),
+    static_argnames=("iterations", "max_corr_start", "chunk",
+                     "point_to_plane", "with_fitness"),
 )
 def icp_multi(
     src_xyz: jnp.ndarray,
@@ -146,6 +147,7 @@ def icp_multi(
     chunk: int = 2048,
     point_to_plane: bool = False,
     target_normals: jnp.ndarray = None,
+    with_fitness: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ICP for C candidate (source, init pose) pairs against one target.
 
@@ -195,6 +197,11 @@ def icp_multi(
 
     Ts, _ = jax.lax.scan(step, init_T.astype(jnp.float32), max_sqs)
 
+    if not with_fitness:
+        # skip the trailing fitness NN round (one sequential ~0.5 ms round
+        # at bench shapes) when the caller only needs the poses —
+        # config.tier1_skip_view_fitness documents when that is sound
+        return Ts, jnp.zeros((C,), jnp.float32)
     moved = jnp.einsum("cij,cnj->cni", Ts[:, :3, :3], src_xyz,
                        precision=jax.lax.Precision.HIGHEST) + Ts[:, None, :3, 3]
     dist_sq, _ = nn(moved.reshape(C * N, 3))
@@ -268,7 +275,8 @@ def fitness_multi(
     return jnp.sum(dist_sq * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("clip", "explained_dist", "chunk"))
+@functools.partial(jax.jit, static_argnames=("clip", "explained_dist",
+                                              "chunk", "local"))
 def scene_coverage_multi(
     scene: Cloud,
     model_xyz: jnp.ndarray,
@@ -277,6 +285,7 @@ def scene_coverage_multi(
     clip: float = 0.05,
     explained_dist: float = 0.02,
     chunk: int = 2048,
+    local: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """How well the model AT EACH POSE explains the scene, for C poses in
     one batched NN query. Returns two [C] arrays:
@@ -288,6 +297,19 @@ def scene_coverage_multi(
         floor is exactly 0 regardless of the model subsample density (the
         mean's floor is the model's NN spacing², which can sit within an
         order of magnitude of a small stranded feature's signal).
+
+    ``local=True`` restricts the *unexplained* fraction to scene points
+    within the model's own bounding radius (+ ``explained_dist``) of the
+    candidate's model-frame origin. In a MULTI-INSTANCE scene the global
+    fraction is dominated by the other instances' points (a constant
+    ~1 − 1/n offset that makes any absolute acceptance gate meaningless —
+    the r4 bench disabled the gate for exactly this), while the local
+    fraction keeps the single-instance semantics per candidate: a true
+    pose explains ~everything near itself, a 180° flip strands its own
+    stub inside its own footprint. Single-object scenes are unaffected
+    (every scene point is inside the footprint, local == global).
+    Coverage (the ranking signal) stays global either way — the other
+    instances' clipped contribution is candidate-independent.
 
     This is the flip discriminator the reference's score2 lacks
     (``SHOT_demo.cpp:669-681`` ranks by model→scene ``getFitnessScore()``):
@@ -336,7 +358,16 @@ def scene_coverage_multi(
     clipped = jnp.minimum(dist_sq, jnp.float32(clip) ** 2)
     coverage = jnp.sum(clipped * w, axis=1) / denom
     far = (dist_sq > jnp.float32(explained_dist) ** 2).astype(jnp.float32)
-    unexplained = jnp.sum(far * w, axis=1) / denom
+    if local:
+        r = jnp.sqrt(jnp.max(jnp.where(
+            model_mask, jnp.sum(model_xyz * model_xyz, axis=-1), 0.0)))
+        r = r + jnp.float32(explained_dist)
+        within = jnp.sum(moved * moved, axis=-1) <= r * r   # [C, S]
+        lw = w * within.astype(jnp.float32)
+        unexplained = (jnp.sum(far * lw, axis=1)
+                       / jnp.maximum(jnp.sum(lw, axis=1), 1.0))
+    else:
+        unexplained = jnp.sum(far * w, axis=1) / denom
     return coverage, unexplained
 
 
