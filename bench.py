@@ -171,6 +171,13 @@ def _make_config():
         # whatever tier 1 reached (3 was too coarse: the winner's tier-2
         # polish converged to a 1.68° local optimum; 4 lands at 0.17°)
         tier1_iterations=4,
+        # ...split per stage (r5, scripts/exp_latency_levers.py): the VIEW
+        # ICP runs 3 iterations — paired A/B on TPU shaved 2-3 ms off the
+        # two-part chain at unchanged accuracy (0.26°/0.42 mm) — while the
+        # RANKING polish keeps 4 (3 there re-opened the 1.68° local
+        # optimum above, measured: polish=3 cost +0.9° and +4 ms)
+        tier1_view_iterations=3,
+        tier1_polish_iterations=4,
         # 2560 lanes: the 640x480/BLOCK=4 working set is ~2420 points,
         # so 3072 was 25% padding riding through every NN matmul column.
         # The segmented chain runs at the SAME capacity: its lattice crop

@@ -62,6 +62,9 @@ def main():
 
     deltas = {
         "base": {},
+        "skipfit+view3": dict(tier1_skip_view_fitness=True,
+                              tier1_view_iterations=3,
+                              tier1_polish_iterations=4),
         "skipfit": dict(tier1_skip_view_fitness=True),
         "t2=5": dict(final_icp_iterations=5),
         "view=3": dict(tier1_view_iterations=3, tier1_polish_iterations=4),
@@ -84,10 +87,13 @@ def main():
         jax.block_until_ready(res.full_pose)
         return res
 
+    only = [x for x in os.environ.get("LEVERS", "").split(",") if x]
     for chain, runner, base_cfg in (("single", run_single, det_cfg),
                                     ("two_part", run_two, two_cfg_base)):
         print(f"== {chain} ==", flush=True)
         for name, d in deltas.items():
+            if only and name not in only:
+                continue
             c = dataclasses.replace(base_cfg, **d)
             res = runner(c)   # compile
             res = runner(c)   # warm
