@@ -745,6 +745,11 @@ def main():
         fpfh_cfg = dataclasses.replace(
             cfg, descriptor="fpfh", match_mode="ratio", ratio=1.0,
             descr_rad=0.15,                     # FPFH_demo.cpp:511
+            # FPFH keeps the 4-iteration tier-1 view budget: its ratio-
+            # gated matches start candidates farther out than SHOT's, and
+            # at 3 iterations the ranking picked a 180° flip (rejected by
+            # the coverage gate — acc=False; scripts/exp_fpfh_accuracy.py)
+            tier1_view_iterations=4,
             fpfh_surface="keys", fpfh_k_max=192)
         fpfh_bank = build_bank(
             _joint_model(), descriptor="fpfh",
@@ -911,6 +916,9 @@ def main():
             peak_grouped_candidates=True,
             max_candidates=48,
             refine_top=12,
+            # the verdict scene is correctness-gated, not latency-gated:
+            # keep the full 4-iteration tier-1 view budget it passed with
+            tier1_view_iterations=4,
             # every batched-ICP call at the proven 8192-row Mosaic shape:
             # tier-1/polish 48x512 run as three and tier-2 12x2048 as
             # three sequential 8192-row scans (docs/PERFORMANCE.md

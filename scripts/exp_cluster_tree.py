@@ -84,25 +84,32 @@ def main():
             icp_mask=jnp.concatenate([b.icp_mask, b.icp_mask]),
         )
 
-    for label, b in (("V=42", bank), ("V=84", doubled(bank))):
-        clusters = make_view_clusters(b, n_clusters=6)
+    # ONE (bank, mode) per process: the tree's layer programs instantiate
+    # different Mosaic ICP shapes than the flat run's — mixing them in one
+    # process trips the TPU runtime's multi-program re-execution fault
+    # (measured on this script's first run). Select with CTREE=V42|V84 and
+    # CTREE_MODE=flat|tree; the A/B compares across process logs.
+    which = os.environ.get("CTREE", "V42")
+    mode = os.environ.get("CTREE_MODE", "flat")
+    b = bank if which == "V42" else doubled(bank)
+    clusters = make_view_clusters(b, n_clusters=6)
 
-        def run_flat():
-            r = detect(scene, b, det_cfg, scene_normals=normals,
-                       scene_curvature=curv)
-            jax.block_until_ready(r.full_pose)
-            return r
+    def run_flat():
+        r = detect(scene, b, det_cfg, scene_normals=normals,
+                   scene_curvature=curv)
+        jax.block_until_ready(r.full_pose)
+        return r
 
-        def run_tree():
-            r = detect_tree(scene, b, clusters, det_cfg)
-            jax.block_until_ready(r.full_pose)
-            return r
+    def run_tree():
+        r = detect_tree(scene, b, clusters, det_cfg)
+        jax.block_until_ready(r.full_pose)
+        return r
 
-        for name, run in (("flat", run_flat), ("tree", run_tree)):
-            ms, res, rot, tr = timed(run)
-            print(f"{label} {name:5s} med={ms:7.2f}ms acc="
-                  f"{bool(res.accepted)} rot={rot:5.2f}deg "
-                  f"trans={tr * 1000:5.2f}mm", flush=True)
+    run = run_flat if mode == "flat" else run_tree
+    ms, res, rot, tr = timed(run)
+    print(f"{which} {mode:5s} med={ms:7.2f}ms acc="
+          f"{bool(res.accepted)} rot={rot:5.2f}deg "
+          f"trans={tr * 1000:5.2f}mm", flush=True)
 
 
 if __name__ == "__main__":

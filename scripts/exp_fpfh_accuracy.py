@@ -50,7 +50,8 @@ def main():
 
     fpfh_cfg = dataclasses.replace(
         cfg, descriptor="fpfh", match_mode="ratio", ratio=1.0,
-        descr_rad=0.15, fpfh_surface="keys", fpfh_k_max=192)
+        descr_rad=0.15, tier1_view_iterations=4,
+        fpfh_surface="keys", fpfh_k_max=192)
     fpfh_bank = build_bank(
         bench._joint_model(), descriptor="fpfh",
         descr_radius=fpfh_cfg.descr_rad, rf_radius=fpfh_cfg.rf_rad,
@@ -64,7 +65,10 @@ def main():
         "base": {},
         "t2=8": dict(final_icp_iterations=8),
         "t2=10": dict(final_icp_iterations=10),
-        "top6": dict(refine_top=6),
+        # refine_top must stay a multiple of 4 (tier-2 R×2048 rows must
+        # hit the 8192-row Mosaic shape exactly — 6×2048=12288 is a second
+        # program shape and reproducibly faulted this probe's first run)
+        "top8": dict(refine_top=8, icp_rows_per_call=8192),
     }
     only = [x for x in os.environ.get("LEVERS", "").split(",") if x]
     for name, d in deltas.items():

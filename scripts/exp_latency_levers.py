@@ -71,6 +71,10 @@ def main():
         "polish=3": dict(tier1_view_iterations=4, tier1_polish_iterations=3),
         "combo": dict(tier1_skip_view_fitness=True, final_icp_iterations=5,
                       tier1_view_iterations=3, tier1_polish_iterations=4),
+        # VERDICT r4 item 6: lift the 8-candidate/part cap — 16/part via
+        # rows-capped sequential 8192-row ICP calls (two_part chain only;
+        # the single chain already runs C=16)
+        "c16": dict(max_candidates=16, icp_rows_per_call=8192),
     }
 
     def run_single(c):
