@@ -460,8 +460,17 @@ def main():
                                 crop_lo=crop_lo, crop_hi=crop_hi,
                                 fused=fused)
 
+    # the segmented chain keeps the FULL 4-iteration tier-1 view budget:
+    # the r5 per-chain A/B (scripts/exp_latency_levers.py) validated the
+    # view=3 cut on the plain and two-part chains only, and the first
+    # full r5 run showed why that mattered — the segmented winner landed
+    # at 1.23° (vs 0.00° in r4 at view=4): its cropped working set enters
+    # tier 1 from coarser Hough bins and needs the extra round to reach
+    # the tier-2 basin. ~1 ms of its ~5 ms headroom buys the accuracy back.
+    seg_cfg = dataclasses.replace(cfg, tier1_view_iterations=4)
+
     def run_segmented(img=seg_img, vmask=seg_valid):
-        return detect_organized(img, vmask, bank, cfg, block=block,
+        return detect_organized(img, vmask, bank, seg_cfg, block=block,
                                 half_window=half_window,
                                 crop_lo=crop_lo, crop_hi=crop_hi,
                                 fused=fused)
@@ -512,10 +521,23 @@ def main():
         )
         return ms, res
 
+    def assert_north_star(label, res):
+        # BASELINE.md: < 1° rotation / < 5 mm translation. Fail LOUDLY
+        # (ADVICE r4: the FPFH chain's 1.27° passed its gates silently) —
+        # a miss here must crash the artifact, not hide in a comment.
+        if SMALL:
+            return
+        rot, trans = _err(np.asarray(res.full_pose), T_pose)
+        assert bool(res.accepted) and rot < 1.0 and trans < 0.005, (
+            f"{label} missed the north star: accepted={bool(res.accepted)} "
+            f"rot={rot:.2f}deg trans={trans*1000:.1f}mm")
+
     if ONLY in ("", "latency"):
-        timed(run, "scene_latency")
+        _, res_l = timed(run, "scene_latency")
+        assert_north_star("scene_latency", res_l)
     if ONLY in ("", "segment"):
-        timed(run_segmented, "scene_latency_segmented")
+        _, res_s = timed(run_segmented, "scene_latency_segmented")
+        assert_north_star("scene_latency_segmented", res_s)
 
     if ONLY in ("", "two_part"):
         # the reference's TRUE flagship shape: every driver searches BOTH
@@ -919,11 +941,17 @@ def main():
             # the verdict scene is correctness-gated, not latency-gated:
             # keep the full 4-iteration tier-1 view budget it passed with
             tier1_view_iterations=4,
-            # every batched-ICP call at the proven 8192-row Mosaic shape:
-            # tier-1/polish 48x512 run as three and tier-2 12x2048 as
-            # three sequential 8192-row scans (docs/PERFORMANCE.md
-            # runtime fault; config.icp_rows_per_call)
-            icp_rows_per_call=8192,
+            # NO Pallas in the verdict config: its scene capacity (8192
+            # lanes vs the serving chains' 2560) would make every ICP NN
+            # a SECOND Mosaic program shape in the process, and
+            # re-executing the serving programs afterwards trips the TPU
+            # runtime's re-execution fault (docs/PERFORMANCE.md — the r5
+            # full-bench run crashed exactly there; BENCH_ONLY=instances
+            # in its own process masked it). The XLA top-k path adds no
+            # Mosaic program, needs no sequential row capping
+            # (icp_rows_per_call stays 0 — one 48x512 scan), and this
+            # section is correctness-gated, not latency-gated.
+            icp_allow_pallas=False,
             scene_capacity=4096 if SMALL else 8192,
             scene_key_capacity=512 if SMALL else 1024,
         )

@@ -129,6 +129,15 @@ class DetectionConfig:
     # docs/PERFORMANCE.md). E.g. 8192 lets a 32×512-row tier-1 run as
     # two proven 8192-row scans. 0 = one call regardless of width.
     icp_rows_per_call: int = 0
+    # False routes every batched-ICP NN round to the XLA top-k path
+    # instead of the Pallas fused kernel. Use for configs whose NN target
+    # lane count differs from the serving chain's (e.g. the wide-capacity
+    # multi-instance verdict config): a second Mosaic program SHAPE in
+    # the process re-triggers the runtime's re-execution fault even when
+    # the row count matches (docs/PERFORMANCE.md "TPU runtime fault").
+    # Costs ~2x the NN round on latency chains; irrelevant for
+    # correctness-gated verdict configs.
+    icp_allow_pallas: bool = True
     accept_fitness: float = 0.001     # SHOT.cpp:187
     # rank candidates by the FULL CAD's fitness at the composed pose (the
     # reference's best-score2 tracking, SHOT_demo.cpp:669-681) instead of

@@ -672,6 +672,7 @@ def refine_instances(
             point_to_plane=cfg.icp_point_to_plane,
             target_normals=feats.normals if cfg.icp_point_to_plane else None,
             with_fitness=not (two_tier and cfg.tier1_skip_view_fitness),
+            allow_pallas=cfg.icp_allow_pallas,
         )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
@@ -725,6 +726,7 @@ def refine_instances(
                 max_corr_start=cfg.icp_max_corr_start, chunk=2048,
                 point_to_plane=cfg.final_point_to_plane,
                 target_normals=feats.normals,
+                allow_pallas=cfg.icp_allow_pallas,
             )
         rank_metric = model_fit
         coverage = unexplained = None
@@ -774,6 +776,7 @@ def refine_instances(
                     max_corr_start=cfg.icp_max_corr_start, chunk=2048,
                     point_to_plane=cfg.final_point_to_plane,
                     target_normals=feats.normals,
+                    allow_pallas=cfg.icp_allow_pallas,
                 )
             rank2 = fit2
             if cfg.rank_scene_coverage:

@@ -136,6 +136,7 @@ def _detect_parts_device(
             max_corr_start=cfg.icp_max_corr_start, chunk=2048,
             point_to_plane=cfg.icp_point_to_plane,
             target_normals=feats.normals if cfg.icp_point_to_plane else None,
+            allow_pallas=cfg.icp_allow_pallas,
         )
     cand_fitness = jnp.where(cand_valid, cand_fitness, jnp.float32(3e38))
 
@@ -168,6 +169,7 @@ def _detect_parts_device(
                 max_corr_start=cfg.icp_max_corr_start, chunk=2048,
                 point_to_plane=cfg.final_point_to_plane,
                 target_normals=feats.normals,
+                allow_pallas=cfg.icp_allow_pallas,
             )
         effective = jnp.where(cand_valid & cand_verified, model_fit,
                               jnp.float32(3e38))

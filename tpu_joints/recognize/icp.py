@@ -134,7 +134,7 @@ def _plane_delta(moved, q, n, w):
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "max_corr_start", "chunk",
-                     "point_to_plane", "with_fitness"),
+                     "point_to_plane", "with_fitness", "allow_pallas"),
 )
 def icp_multi(
     src_xyz: jnp.ndarray,
@@ -148,6 +148,7 @@ def icp_multi(
     point_to_plane: bool = False,
     target_normals: jnp.ndarray = None,
     with_fitness: bool = True,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ICP for C candidate (source, init pose) pairs against one target.
 
@@ -179,7 +180,8 @@ def icp_multi(
         raise ValueError("point_to_plane=True requires target_normals")
 
     def nn(moved_flat):
-        d, i = knn(moved_flat, target.xyz, 1, source_mask=target.mask, chunk=chunk)
+        d, i = knn(moved_flat, target.xyz, 1, source_mask=target.mask,
+                   chunk=chunk, allow_pallas=allow_pallas)
         return d[:, 0].reshape(C, N), i[:, 0].reshape(C, N)
 
     def step(Ts, max_sq):
