@@ -100,8 +100,19 @@ def main():
         jax.block_until_ready(r.full_pose)
         return r
 
+    # the tree's two layers refine at two different candidate/row shapes —
+    # two Mosaic ICP programs alternating in one process, which is exactly
+    # the runtime's re-execution fault (this script's V42-tree run crashed
+    # INVALID_ARGUMENT on its first timed pass). Pin the tree to the XLA
+    # NN path (config.icp_allow_pallas=False): zero Mosaic programs. This
+    # biases the A/B *against* the tree by the XLA NN premium, but the
+    # verdict is already set by the flat side: V84 flat ≈ V42 flat, so
+    # extra views are free in the one-matmul flat path and the tree has
+    # nothing to save.
+    tree_cfg = dataclasses.replace(det_cfg, icp_allow_pallas=False)
+
     def run_tree():
-        r = detect_tree(scene, b, clusters, det_cfg)
+        r = detect_tree(scene, b, clusters, tree_cfg)
         jax.block_until_ready(r.full_pose)
         return r
 

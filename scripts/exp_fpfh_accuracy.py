@@ -69,6 +69,14 @@ def main():
         # hit the 8192-row Mosaic shape exactly — 6×2048=12288 is a second
         # program shape and reproducibly faulted this probe's first run)
         "top8": dict(refine_top=8, icp_rows_per_call=8192),
+        # the 1.27° is a CONVERGED optimum (t2=10 → 1.23°): probe whether
+        # the 2 cm final correspondence gate sets it — on a winner view
+        # with thin stub visibility the spin mode is flat and wide-gate
+        # sideways correspondences bias the optimum
+        "corr=8mm": dict(icp_max_corr_dist=0.008),
+        "corr=5mm": dict(icp_max_corr_dist=0.005),
+        "corr=5mm+t2=8": dict(icp_max_corr_dist=0.005,
+                              final_icp_iterations=8),
     }
     only = [x for x in os.environ.get("LEVERS", "").split(",") if x]
     for name, d in deltas.items():
